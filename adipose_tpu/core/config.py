@@ -1,0 +1,183 @@
+"""Dataclass configs mirroring the reference scripts' flag surfaces.
+
+The reference configures everything through per-script argparse flags
+(e.g. ``Segmentation/train_adipose_unet_v3.py:1446+``,
+``Segmentation/build_dataset.py:159-198`` DEFAULTS,
+``Classification/train_adipose_classifier_v0.py:88+``). Here each pipeline gets
+one typed dataclass; the CLI (adipose_tpu/cli) exposes every field as a flag
+with the reference's names and semantics, so command lines port over directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+def _asdict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _JsonMixin:
+    def to_json(self, path: str | Path | None = None) -> str:
+        text = json.dumps(_asdict(self), indent=2, default=str)
+        if path is not None:
+            Path(path).write_text(text)
+        return text
+
+    @classmethod
+    def from_json(cls, path: str | Path):
+        data = json.loads(Path(path).read_text())
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in names})
+
+
+@dataclass
+class UNetConfig(_JsonMixin):
+    """Architecture of the dilated-bottleneck U-Net.
+
+    Matches the model defined (four times) in the reference — canonical copy at
+    ``Segmentation/train_adipose_unet_v3.py:660-758``: 3-level encoder starting
+    at ``init_nb`` filters, six summed dilated convs (rates 1..32) at the
+    bottleneck, skip-concat decoder, 2-class softmax with the class-1 slice as
+    output, optional sigmoid deep-supervision heads at up3/up2.
+    """
+
+    tile_size: int = 1024
+    init_nb: int = 44
+    dropout_rate: float = 0.3
+    use_deep_supervision: bool = False
+    dilation_rates: tuple = (1, 2, 4, 8, 16, 32)
+    # TPU-native knobs (no reference equivalent):
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params stay f32
+    remat: bool = False  # jax.checkpoint over decoder stages
+
+
+@dataclass
+class ClassifierConfig(_JsonMixin):
+    """InceptionV3 + GAP/Dropout/Dense-sigmoid head
+    (``Classification/train_adipose_classifier_v0.py:312-319``)."""
+
+    image_size: int = 299
+    dropout_rate: float = 0.4
+    unfreeze_from: str = "mixed7"  # phase-2 unfreeze point (:493-503)
+    compute_dtype: str = "bfloat16"
+
+
+@dataclass
+class TrainConfig(_JsonMixin):
+    """Two-phase fine-tuning envelope (``train_adipose_unet_v3.py:1316-1421``)."""
+
+    batch_size: int = 2
+    epochs_phase1: int = 50
+    epochs_phase2: int = 100
+    lr_phase1: float = 1e-4
+    lr_phase2: float = 1e-5
+    optimizer: str = "adam"  # 'adam' | 'adamw'
+    weight_decay: float = 0.01
+    # Loss selection (compile_model matrix, :780-879)
+    use_hard_mining: bool = False
+    ohem_ratio: float = 0.7
+    use_label_smoothing: bool = False
+    epsilon_pos: float = 0.03
+    epsilon_neg: float = 0.07
+    ds_weight_main: float = 1.0
+    ds_weight_aux1: float = 0.4
+    ds_weight_aux2: float = 0.3
+    # EMA (EMACallback :410-505)
+    use_ema: bool = False
+    ema_decay_phase1: float = 0.999
+    ema_decay_phase2: float = 0.995
+    # Schedule (CosineAnnealingWithWarmup :368-407)
+    use_cosine_schedule: bool = False
+    warmup_epochs: int = 5
+    min_lr: float = 1e-7
+    # Data
+    augment_level: str = "moderate"  # light|moderate|heavy|tta_style
+    normalization_method: str = "zscore"  # zscore | percentile
+    percentile_low: float = 1.0
+    percentile_high: float = 99.0
+    # Early stopping
+    early_stopping_patience: int = 15
+    # Mesh
+    num_devices: int = 0  # 0 = all available
+    seed: int = 865
+
+
+@dataclass
+class EvalConfig(_JsonMixin):
+    """Publication evaluation options (``full_evaluation_enhanced.py:1961+``)."""
+
+    use_tta: bool = False
+    tta_mode: str = "basic"  # minimal|basic|full
+    use_sliding_window: bool = False
+    sliding_overlap: float = 0.5
+    blend_mode: str = "gaussian"  # gaussian|linear|none
+    use_boundary_refinement: bool = False
+    threshold: float = 0.5
+    optimize_threshold: bool = True
+    adaptive_threshold: bool = False  # two-stage 0.1-0.9 grid (:891-939)
+    n_bootstrap: int = 10000
+    eval_seed: int = 1337  # set_deterministic_seeds (:647-655)
+    use_ema_weights: bool = False
+    batch_size: int = 8
+
+
+@dataclass
+class DataBuildConfig(_JsonMixin):
+    """Dataset-build DEFAULTS (``Segmentation/build_dataset.py:159-198``)."""
+
+    tile_size: int = 1024
+    stride: int = 1024
+    min_confidence_train: int = 1
+    min_confidence_eval: int = 2
+    white_threshold: int = 235
+    white_ratio: float = 0.70
+    blur_threshold: float = 7.5  # Laplacian variance (classify_tiles_batch :1253)
+    ambiguous_low: float = 0.0
+    ambiguous_high: float = 0.05  # 0<ratio<0.05 tiles excluded (:1571)
+    negative_fraction: float = 0.40  # negatives resampled to 40% (:1589-1632)
+    val_fraction: float = 0.15
+    test_fraction: float = 0.15
+    apply_stain_norm: bool = False
+    seed: int = 865
+    # Classification-dataset extras (build_class_dataset.py)
+    adipose_coverage_threshold: float = 0.025  # >=2.5% mask coverage => adipose (:683-690)
+    channel: str = "pseudocolored"  # 'ecm' | 'pseudocolored' (:183-204)
+
+
+@dataclass
+class WSIChunkConfig(_JsonMixin):
+    """WSI chunkers (``pre-post-processing_tools/large_wsi_to_small_wsi_MS.py`` /
+    ``..._Lucy.py``)."""
+
+    # MS adaptive chunker
+    primary_tile: int = 6144
+    edge_multiple: int = 1024
+    max_chunk_mb: float = 50.0
+    # Lucy grid chunker
+    grid_tile: int = 2048
+    grid_overlap: int = 204  # stride 1844
+    convert_16to8: bool = True
+    invert: bool = False
+    enhancement: str = "none"  # none|zscore|percentile|clahe
+
+
+@dataclass
+class ECMPreprocessConfig(_JsonMixin):
+    """ECM fluorescence-channel cleanup
+    (``pre-post-processing_tools/preprocess_small_MS_SIMs.py``)."""
+
+    deband_method: str = "fft"  # fft|morphological|column_norm|none
+    fft_center_freq: float = 0.15
+    fft_sigma: float = 3.0
+    fft_blend: float = 0.8
+    illumination_method: str = "none"  # rolling_ball|gaussian|tophat|clahe|none
+    apply_clahe: bool = False
+    clahe_clip: float = 2.0
+    clahe_grid: int = 8
+    sharpen: bool = False
+    sharpen_amount: float = 0.5

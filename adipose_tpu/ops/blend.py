@@ -1,0 +1,130 @@
+"""Overlap-blended reconstruction of full images from tile predictions.
+
+Behavioral spec: ``Segmentation/full_evaluation_enhanced.py:115-230``:
+  * GaussianBlender — 2-D Gaussian weight map w(x,y)=exp(−d²/(2σ²)) with
+    σ = sigma_factor·tile_size (default 0.25), normalized to max 1; tiles are
+    weight-accumulated into an accumulator/weight-sum pair then divided.
+  * LinearBlender — plain averaging (weight ≡ 1).
+
+TPU-native: reconstruction is a scatter-add over a device-resident canvas.
+Tiles arrive as one (N, T, T) batch plus an (N, 2) position array; the entire
+blend is a single jit program using ``scatter-add`` (XLA lowers dynamic-slice
+accumulation efficiently). For canvases beyond HBM, callers stripe the canvas
+(see :mod:`adipose_tpu.wsi.reconstruct`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_weight_map(tile_size: int, sigma_factor: float = 0.25) -> jnp.ndarray:
+    """Gaussian tile-center weight map, peak-normalized to 1
+    (``full_evaluation_enhanced.py:133-148``)."""
+    center = tile_size / 2.0
+    coords = jnp.arange(tile_size, dtype=jnp.float32)
+    y = coords[:, None]
+    x = coords[None, :]
+    sigma = tile_size * sigma_factor
+    dist_sq = (x - center) ** 2 + (y - center) ** 2
+    weights = jnp.exp(-dist_sq / (2.0 * sigma**2))
+    return weights / jnp.max(weights)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def blend_tiles(
+    tiles: jax.Array,
+    positions: jax.Array,
+    weight_map: jax.Array,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """Weighted scatter-add blend of N tiles into an (out_h, out_w) canvas.
+
+    Args:
+      tiles: (N, T, T) predictions in [0,1] (or any float field).
+      positions: (N, 2) int32 (y, x) top-left corners.
+      weight_map: (T, T) blending weights (ones ⇒ LinearBlender semantics).
+
+    Equivalent to ``GaussianBlender.reconstruct`` (:150-183): accumulate
+    tile·w and w, then divide with a 1e-8 floor.
+    """
+    tiles = tiles.astype(jnp.float32)
+    n, t, _ = tiles.shape
+    acc = jnp.zeros((out_h, out_w), jnp.float32)
+    wsum = jnp.zeros((out_h, out_w), jnp.float32)
+    weighted = tiles * weight_map[None]
+
+    def body(i, carry):
+        acc, wsum = carry
+        y = positions[i, 0]
+        x = positions[i, 1]
+        patch = jax.lax.dynamic_slice(acc, (y, x), (t, t))
+        acc = jax.lax.dynamic_update_slice(acc, patch + weighted[i], (y, x))
+        wpatch = jax.lax.dynamic_slice(wsum, (y, x), (t, t))
+        wsum = jax.lax.dynamic_update_slice(wsum, wpatch + weight_map, (y, x))
+        return acc, wsum
+
+    acc, wsum = jax.lax.fori_loop(0, n, body, (acc, wsum))
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
+def blend_tiles_gaussian(
+    tiles, positions, out_shape, sigma_factor: float = 0.25
+) -> jax.Array:
+    """GaussianBlender-equivalent convenience wrapper."""
+    t = int(np.asarray(tiles).shape[-1])
+    wm = gaussian_weight_map(t, sigma_factor)
+    return blend_tiles(
+        jnp.asarray(tiles), jnp.asarray(positions, jnp.int32), wm,
+        int(out_shape[0]), int(out_shape[1]),
+    )
+
+
+def blend_tiles_linear(tiles, positions, out_shape) -> jax.Array:
+    """LinearBlender-equivalent (uniform weights ⇒ simple averaging,
+    ``full_evaluation_enhanced.py:186-205``)."""
+    t = int(np.asarray(tiles).shape[-1])
+    wm = jnp.ones((t, t), jnp.float32)
+    return blend_tiles(
+        jnp.asarray(tiles), jnp.asarray(positions, jnp.int32), wm,
+        int(out_shape[0]), int(out_shape[1]),
+    )
+
+
+def sliding_window_positions(
+    image_shape, tile_size: int = 1024, overlap: float = 0.5
+) -> np.ndarray:
+    """Sliding-window tile origins, clamped to bounds, overlap ≤ 0.75
+    (``SlidingWindowInference.extract_tile_positions``,
+    ``full_evaluation_enhanced.py:240-273``)."""
+    import math
+
+    overlap = max(0.0, min(overlap, 0.75))
+    stride = int(tile_size * (1 - overlap))
+    h, w = int(image_shape[0]), int(image_shape[1])
+    y_steps = max(1, math.ceil((h - tile_size) / stride) + 1)
+    x_steps = max(1, math.ceil((w - tile_size) / stride) + 1)
+    positions = []
+    for yi in range(y_steps):
+        for xi in range(x_steps):
+            y = min(yi * stride, h - tile_size)
+            x = min(xi * stride, w - tile_size)
+            if y >= 0 and x >= 0 and y + tile_size <= h and x + tile_size <= w:
+                positions.append((y, x))
+    return np.asarray(positions, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("tile_size",))
+def extract_tiles(image: jax.Array, positions: jax.Array, tile_size: int) -> jax.Array:
+    """Gather (N, T, T) tiles from a device-resident image at given origins —
+    the device-side counterpart of ``extract_tiles`` (:275-291)."""
+
+    def one(pos):
+        return jax.lax.dynamic_slice(image, (pos[0], pos[1]), (tile_size, tile_size))
+
+    return jax.vmap(one)(positions.astype(jnp.int32))

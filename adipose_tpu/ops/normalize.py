@@ -1,0 +1,115 @@
+"""Intensity normalization — jit-able equivalents of the reference's methods.
+
+Behavioral spec:
+  * ``src/utils/data.py:398-429`` — percentile / minmax / zscore /
+    zscore_dataset variants used by training pipelines.
+  * ``src/utils/stain_normalization.py:348-406`` — uint8-range z-score to a
+    target (mean 200.99, std 25.26) and 1–99 percentile stretch.
+  * ``full_evaluation_enhanced.py:1323`` (predict_single) — eval-side
+    ``(x − mean)/(std + 1e-10)`` with training-set stats.
+
+All functions take float arrays of any shape; per-image statistics reduce over
+every axis (matching the reference, which operates on single tiles). Batched
+variants reduce per-sample so a (B, H, W) batch normalizes in one jit program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+TRAIN_MEAN_DEFAULT = 200.99  # stain_normalization.py:348
+TRAIN_STD_DEFAULT = 25.26
+
+
+@jax.jit
+def percentile_unit(image: jax.Array, p_low: float = 1.0, p_high: float = 99.0) -> jax.Array:
+    """Percentile stretch to [0,1] (``src/utils/data.py:413-416``)."""
+    img = image.astype(jnp.float32)
+    plow = jnp.percentile(img, p_low)
+    phigh = jnp.percentile(img, p_high)
+    scale = jnp.maximum(phigh - plow, 1e-3)
+    return jnp.clip((img - plow) / scale, 0.0, 1.0)
+
+
+@jax.jit
+def minmax_unit(image: jax.Array) -> jax.Array:
+    """(``src/utils/data.py:417-420``)."""
+    img = image.astype(jnp.float32)
+    imin, imax = jnp.min(img), jnp.max(img)
+    scale = jnp.maximum(imax - imin, 1e-3)
+    return (img - imin) / scale
+
+
+@jax.jit
+def zscore_self(image: jax.Array) -> jax.Array:
+    """Standardize by the image's own stats (``src/utils/data.py:421-423``)."""
+    img = image.astype(jnp.float32)
+    return (img - jnp.mean(img)) / (jnp.std(img) + 1e-10)
+
+
+@jax.jit
+def zscore_dataset(image: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    """Standardize by dataset stats (``src/utils/data.py:424-427``; eval path
+    ``full_evaluation_enhanced.py:1321-1323``)."""
+    return (image.astype(jnp.float32) - mean) / (std + 1e-10)
+
+
+@jax.jit
+def zscore_to_target(
+    image: jax.Array,
+    target_mean: float = TRAIN_MEAN_DEFAULT,
+    target_std: float = TRAIN_STD_DEFAULT,
+) -> jax.Array:
+    """Remap a uint8-range image to target mean/std, clip to [0,255]
+    (``stain_normalization.py:348-376``). Returns float32 in [0, 255]."""
+    img = image.astype(jnp.float32)
+    cur_mean, cur_std = jnp.mean(img), jnp.std(img)
+    out = jnp.where(
+        cur_std > 0, (img - cur_mean) / jnp.where(cur_std > 0, cur_std, 1.0) * target_std + target_mean, img
+    )
+    return jnp.clip(out, 0.0, 255.0)
+
+
+@jax.jit
+def percentile_stretch_255(
+    image: jax.Array, p_low: float = 1.0, p_high: float = 99.0
+) -> jax.Array:
+    """1–99 percentile stretch to [0,255] (``stain_normalization.py:379-406``);
+    degenerate range returns the input unchanged. Returns float32."""
+    img = image.astype(jnp.float32)
+    low = jnp.percentile(img, p_low)
+    high = jnp.percentile(img, p_high)
+    stretched = jnp.clip(img, low, high)
+    stretched = (stretched - low) / jnp.maximum(high - low, 1e-12) * 255.0
+    return jnp.where(high == low, img, stretched)
+
+
+def normalize_image(image, method: str = "percentile", p_low: float = 1.0,
+                    p_high: float = 99.0, mean=None, std=None):
+    """Dispatcher mirroring ``src/utils/data.py:398-429``."""
+    if method == "percentile":
+        return percentile_unit(image, p_low, p_high)
+    if method == "minmax":
+        return minmax_unit(image)
+    if method == "zscore":
+        return zscore_self(image)
+    if method == "zscore_dataset":
+        if mean is None or std is None:
+            raise ValueError("Dataset mean and std required for zscore_dataset method")
+        return zscore_dataset(image, jnp.float32(mean), jnp.float32(std))
+    raise ValueError(f"Unknown normalization method: {method}")
+
+
+# Batched (per-sample statistics) ---------------------------------------------
+
+batched_percentile_unit = jax.jit(jax.vmap(percentile_unit, in_axes=(0, None, None)))
+batched_zscore_self = jax.jit(jax.vmap(zscore_self))
+batched_zscore_to_target = jax.jit(jax.vmap(zscore_to_target, in_axes=(0, None, None)))
+
+
+@partial(jax.jit, static_argnames=())
+def batched_zscore_dataset(batch: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    return zscore_dataset(batch, mean, std)

@@ -1,0 +1,83 @@
+"""Tile quality-control classifiers — white/empty and blur detection, batched.
+
+Behavioral spec: ``Segmentation/build_dataset.py:1253-1284``
+(``classify_tiles_batch``): a tile is *empty/white* when the fraction of pixels
+≥235 (per-channel mean for RGB) exceeds 0.70; *blurry* when the variance of the
+3×3 Laplacian response is below 7.5. The classification-dataset builder applies
+the same gates to negatives only (``Classification/build_class_dataset.py:560-572,692-702``).
+
+TPU-native: both tests are elementwise + small-stencil ops, so a whole batch of
+1024² tiles is classified in one fused jit program on device — the reference's
+per-tile cv2 loop is one of its build-time hot spots.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+WHITE_THRESHOLD = 235.0
+WHITE_RATIO = 0.70
+BLUR_THRESHOLD = 7.5
+
+# OpenCV's default 3×3 Laplacian kernel (cv2.Laplacian ksize=1 aperture).
+_LAPLACIAN = jnp.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+)
+
+
+@jax.jit
+def white_ratio(tile: jax.Array, threshold: float = WHITE_THRESHOLD) -> jax.Array:
+    """Fraction of near-white pixels. Accepts (H, W) grayscale or (H, W, 3) RGB
+    (RGB uses the per-pixel channel mean, matching the builder)."""
+    t = tile.astype(jnp.float32)
+    if t.ndim == 3:
+        t = jnp.mean(t, axis=-1)
+    return jnp.mean((t >= threshold).astype(jnp.float32))
+
+
+@jax.jit
+def laplacian_variance(tile: jax.Array) -> jax.Array:
+    """Variance of the 3×3 Laplacian response (cv2.Laplacian(...).var()).
+
+    cv2 uses BORDER_REFLECT_101 padding; we reproduce it via jnp.pad 'reflect'.
+    """
+    t = tile.astype(jnp.float32)
+    if t.ndim == 3:
+        t = jnp.mean(t, axis=-1)
+    padded = jnp.pad(t, 1, mode="reflect")
+    resp = jax.lax.conv_general_dilated(
+        padded[None, None, :, :],
+        _LAPLACIAN[None, None, :, :],
+        window_strides=(1, 1),
+        padding="VALID",
+    )[0, 0]
+    return jnp.var(resp)
+
+
+@jax.jit
+def classify_tile(
+    tile: jax.Array,
+    white_threshold: float = WHITE_THRESHOLD,
+    white_ratio_limit: float = WHITE_RATIO,
+    blur_threshold: float = BLUR_THRESHOLD,
+) -> dict:
+    """QC verdict for one tile: empty (white), blurry, or good.
+
+    Matches ``classify_tiles_batch`` (``build_dataset.py:1253-1284``): the white
+    test runs first; the blur test only disqualifies non-empty tiles.
+    """
+    wr = white_ratio(tile, white_threshold)
+    lv = laplacian_variance(tile)
+    is_empty = wr > white_ratio_limit
+    is_blurry = (~is_empty) & (lv < blur_threshold)
+    return {
+        "white_ratio": wr,
+        "laplacian_var": lv,
+        "is_empty": is_empty,
+        "is_blurry": is_blurry,
+        "is_good": ~(is_empty | is_blurry),
+    }
+
+
+classify_tiles_batch = jax.jit(jax.vmap(classify_tile, in_axes=(0, None, None, None)))

@@ -1,0 +1,25 @@
+"""Test harness: force an 8-device virtual CPU backend before JAX initializes.
+
+This is the standard JAX fake-backend trick for testing multi-device sharding
+without hardware — the rebuild's replacement for the reference's nonexistent
+multi-node test story (see SURVEY.md §4). All unit tests run on CPU so they are
+hermetic and fast; TPU behavior is covered by bench.py and the driver's
+compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(865)
