@@ -1,0 +1,269 @@
+"""Paired image/mask augmentation — fully on-device, vmapped over the batch.
+
+Behavioral spec: ``src/utils/data.py:13-393`` — four tiers (light / moderate /
+heavy / tta_style) plus the mask-free grayscale classifier pipeline, composed
+from: rot90/flips, brightness/contrast/gamma, Gaussian blur/noise, center
+zoom, and elastic deformation.
+
+TPU-native design (this is the reference's throughput bottleneck — a GIL-bound
+``tf.py_function`` generator, ``train_adipose_unet_v3.py:568-607``):
+  * every primitive is a pure jnp function of (key, image, mask) with STATIC
+    shapes — random zoom and elastic warp go through one shared bilinear
+    ``map_coordinates`` resample instead of dynamic resize/crop/pad;
+  * probabilities use ``jnp.where`` masking, not Python branches, so one jitted
+    program covers all random draws;
+  * a whole batch augments as ``vmap(augment_fn)(keys, images, masks)`` fused
+    into the training step — zero host work after the initial tile load.
+
+Images are float32 in [0, 255] (grayscale (H, W)); masks are float32 {0,1}.
+The RNG tree derives from seed.csv via :func:`adipose_tpu.core.key_for`, so
+runs are deterministic regardless of worker layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from adipose_tpu.ops.d4 import apply_transform
+
+
+# ---- Geometric primitives ---------------------------------------------------
+
+
+def _resample(img: jax.Array, coords_y: jax.Array, coords_x: jax.Array,
+              order: int, fill_mode: str) -> jax.Array:
+    """Bilinear/nearest sample of img at (coords_y, coords_x)."""
+    coords = jnp.stack([coords_y, coords_x])
+    return jax.scipy.ndimage.map_coordinates(img, coords, order=order, mode=fill_mode)
+
+
+def random_rotation_90(key, image, mask):
+    """(``data.py:13-18``)"""
+    k = jax.random.randint(key, (), 0, 4)
+    return apply_transform(image, k), apply_transform(mask, k)
+
+
+def random_flip(key, image, mask):
+    """(``data.py:21-29``)"""
+    k1, k2 = jax.random.split(key)
+    do_lr = jax.random.uniform(k1) > 0.5
+    do_ud = jax.random.uniform(k2) > 0.5
+    image = jnp.where(do_lr, jnp.flip(image, axis=1), image)
+    mask = jnp.where(do_lr, jnp.flip(mask, axis=1), mask)
+    image = jnp.where(do_ud, jnp.flip(image, axis=0), image)
+    mask = jnp.where(do_ud, jnp.flip(mask, axis=0), mask)
+    return image, mask
+
+
+def random_brightness(key, image, factor_range=(0.7, 1.3)):
+    """(``data.py:32-35``)"""
+    f = jax.random.uniform(key, (), minval=factor_range[0], maxval=factor_range[1])
+    return jnp.clip(image * f, 0.0, 255.0)
+
+
+def random_contrast(key, image, factor_range=(0.7, 1.3)):
+    """(``data.py:38-42``)"""
+    f = jax.random.uniform(key, (), minval=factor_range[0], maxval=factor_range[1])
+    m = jnp.mean(image)
+    return jnp.clip((image - m) * f + m, 0.0, 255.0)
+
+
+def random_gamma(key, image, gamma_range=(0.7, 1.3)):
+    """(``data.py:45-50``)"""
+    g = jax.random.uniform(key, (), minval=gamma_range[0], maxval=gamma_range[1])
+    return jnp.power(jnp.clip(image / 255.0, 0.0, 1.0), g) * 255.0
+
+
+_BLUR_RADIUS = 5  # supports sigma ≤ ~1.7 (reference max 1.5)
+
+
+def _blur_fixed(image, sigma):
+    """Gaussian blur with a fixed kernel support and traced sigma."""
+    x = jnp.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma, 1e-3)
+    k = jnp.exp(-0.5 * (x / sig) ** 2)
+    k = k / jnp.sum(k)
+    padded = jnp.pad(image, ((_BLUR_RADIUS, _BLUR_RADIUS), (0, 0)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        padded[None, None], k[None, None, :, None], (1, 1), "VALID"
+    )[0, 0]
+    padded2 = jnp.pad(out, ((0, 0), (_BLUR_RADIUS, _BLUR_RADIUS)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        padded2[None, None], k[None, None, None, :], (1, 1), "VALID"
+    )[0, 0]
+
+
+def random_gaussian_blur(key, image, sigma_range=(0.0, 1.5), prob=0.3):
+    """(``data.py:53-60``): applied with prob, skipped when sigma < 0.1."""
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1) <= prob
+    sigma = jax.random.uniform(k2, (), minval=sigma_range[0], maxval=sigma_range[1])
+    blurred = _blur_fixed(image, sigma)
+    return jnp.where(apply & (sigma >= 0.1), blurred, image)
+
+
+def random_gaussian_noise(key, image, std_range=(0.0, 10.0), prob=0.3):
+    """(``data.py:63-69``)"""
+    k1, k2, k3 = jax.random.split(key, 3)
+    apply = jax.random.uniform(k1) <= prob
+    std = jax.random.uniform(k2, (), minval=std_range[0], maxval=std_range[1])
+    noise = jax.random.normal(k3, image.shape) * std
+    return jnp.where(apply, jnp.clip(image + noise, 0.0, 255.0), image)
+
+
+def random_scale(key, image, mask, scale_range=(0.85, 1.15), prob=0.5):
+    """Center zoom in/out with same-size output (``data.py:72-106``).
+
+    Implemented as one bilinear resample of the source at scaled coordinates:
+    zoom-in crops the center, zoom-out pads (reflect for image, zeros for
+    mask) — equivalent to the reference's resize+crop / resize+pad.
+    """
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1) <= prob
+    scale = jax.random.uniform(k2, (), minval=scale_range[0], maxval=scale_range[1])
+    h, w = image.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / scale + cy
+    xx = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / scale + cx
+    yy = jnp.broadcast_to(yy, (h, w))
+    xx = jnp.broadcast_to(xx, (h, w))
+    img_s = _resample(image, yy, xx, order=1, fill_mode="reflect")
+    mask_s = _resample(mask, yy, xx, order=0, fill_mode="constant")
+    return (
+        jnp.where(apply, img_s, image),
+        jnp.where(apply, mask_s, mask),
+    )
+
+
+def elastic_transform(key, image, mask, alpha=10.0, sigma=3.0):
+    """Smooth random warp (``data.py:109-143``): blurred uniform displacement
+    fields scaled by alpha; bilinear for image (reflect), nearest for mask
+    (zero fill)."""
+    k1, k2 = jax.random.split(key)
+    h, w = image.shape
+    dx = _blur_fixed(jax.random.uniform(k1, (h, w)) * 2.0 - 1.0, sigma) * alpha
+    dy = _blur_fixed(jax.random.uniform(k2, (h, w)) * 2.0 - 1.0, sigma) * alpha
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) + dy
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) + dx
+    img_d = _resample(image, yy, xx, order=1, fill_mode="reflect")
+    mask_d = _resample(mask, yy, xx, order=0, fill_mode="constant")
+    return img_d, mask_d
+
+
+def _maybe_elastic(key, image, mask, prob, alpha, sigma):
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1) > (1.0 - prob)
+    img_e, mask_e = elastic_transform(k2, image, mask, alpha, sigma)
+    return jnp.where(apply, img_e, image), jnp.where(apply, mask_e, mask)
+
+
+def _maybe(key, fn, image, prob):
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1) > (1.0 - prob)
+    return jnp.where(apply, fn(k2, image), image)
+
+
+# ---- Tiers (data.py:148-339) ------------------------------------------------
+
+
+def augment_pair_heavy(key, image, mask):
+    """(``data.py:148-191``) — for datasets <200 tiles."""
+    ks = jax.random.split(key, 9)
+    image, mask = random_rotation_90(ks[0], image, mask)
+    image, mask = random_flip(ks[1], image, mask)
+    image, mask = random_scale(ks[2], image, mask, (0.9, 1.1), prob=0.5)
+    image, mask = _maybe_elastic(ks[3], image, mask, prob=0.3, alpha=15.0, sigma=3.0)
+    image = _maybe(ks[4], lambda k, im: random_brightness(k, im, (0.8, 1.2)), image, 0.7)
+    image = _maybe(ks[5], lambda k, im: random_contrast(k, im, (0.8, 1.2)), image, 0.7)
+    image = _maybe(ks[6], lambda k, im: random_gamma(k, im, (0.8, 1.2)), image, 0.7)
+    image = random_gaussian_blur(ks[7], image, (0.0, 1.0), prob=0.2)
+    image = random_gaussian_noise(ks[8], image, (0.0, 5.0), prob=0.2)
+    return image, mask
+
+
+def augment_pair_moderate(key, image, mask):
+    """(``data.py:194-232``) — for 100-500-tile datasets (default tier)."""
+    ks = jax.random.split(key, 7)
+    image, mask = random_rotation_90(ks[0], image, mask)
+    image, mask = random_flip(ks[1], image, mask)
+    image, mask = random_scale(ks[2], image, mask, (0.95, 1.05), prob=0.3)
+    image, mask = _maybe_elastic(ks[3], image, mask, prob=0.15, alpha=8.0, sigma=3.0)
+    image = _maybe(ks[4], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.5)
+    image = _maybe(ks[5], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.5)
+    image = random_gaussian_blur(ks[6], image, (0.0, 0.8), prob=0.15)
+    return image, mask
+
+
+def augment_pair_light(key, image, mask):
+    """(``data.py:235-261``) — for >500-tile datasets."""
+    ks = jax.random.split(key, 3)
+    image, mask = random_rotation_90(ks[0], image, mask)
+    image, mask = random_flip(ks[1], image, mask)
+    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.95, 1.05)), image, 0.3)
+    return image, mask
+
+
+def augment_pair_tta_style(key, image, mask):
+    """(``data.py:264-339``): one of the 8 D4 TTA transforms (systematic) +
+    conservative photometrics — training-time mirror of test-time TTA."""
+    ks = jax.random.split(key, 7)
+    tid = jax.random.randint(ks[0], (), 0, 8)
+    image = apply_transform(image, tid)
+    mask = apply_transform(mask, tid)
+    image, mask = random_scale(ks[1], image, mask, (0.95, 1.05), prob=0.3)
+    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.85, 1.15)), image, 0.6)
+    image = _maybe(ks[3], lambda k, im: random_contrast(k, im, (0.85, 1.15)), image, 0.6)
+    image = _maybe(ks[4], lambda k, im: random_gamma(k, im, (0.85, 1.15)), image, 0.5)
+    image = random_gaussian_blur(ks[5], image, (0.0, 0.7), prob=0.15)
+    return image, mask
+
+
+def augment_grayscale_classification(key, image):
+    """Mask-free classifier-tile augmentation (``data.py:342-393``)."""
+    dummy = jnp.zeros_like(image)
+    ks = jax.random.split(key, 8)
+    image, _ = random_rotation_90(ks[0], image, dummy)
+    image, _ = random_flip(ks[1], image, dummy)
+    image, _ = random_scale(ks[2], image, dummy, (0.95, 1.05), prob=0.3)
+    image = _maybe(ks[3], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.6)
+    image = _maybe(ks[4], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.6)
+    image = _maybe(ks[5], lambda k, im: random_gamma(k, im, (0.9, 1.1)), image, 0.5)
+    image = random_gaussian_blur(ks[6], image, (0.0, 0.8), prob=0.15)
+    image = random_gaussian_noise(ks[7], image, (0.0, 5.0), prob=0.15)
+    return image
+
+
+TIERS = {
+    "light": augment_pair_light,
+    "moderate": augment_pair_moderate,
+    "heavy": augment_pair_heavy,
+    "tta_style": augment_pair_tta_style,
+}
+
+
+def select_tier(n_tiles: int) -> str:
+    """Dataset-size-keyed tier choice (``data.py`` docstrings: <200 heavy,
+    100-500 moderate, >500 light)."""
+    if n_tiles < 200:
+        return "heavy"
+    if n_tiles <= 500:
+        return "moderate"
+    return "light"
+
+
+@partial(jax.jit, static_argnames=("tier",))
+def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array,
+                  tier: str = "moderate"):
+    """Vmapped tier augmentation over a (B, H, W) batch — one device program."""
+    fn = TIERS[tier]
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(fn)(keys, images, masks)
+
+
+@jax.jit
+def augment_classification_batch(key: jax.Array, images: jax.Array):
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(augment_grayscale_classification)(keys, images)

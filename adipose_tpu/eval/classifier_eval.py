@@ -1,0 +1,280 @@
+"""Classifier evaluation: TTA, snapshot ensembling, calibration, threshold
+sweeps, class statistics, plots, example dumps.
+
+Behavioral spec: ``Classification/eval_adipose_classifier.py``:
+  * deterministic 8-way geometric TTA by transform id (:98-102, :311-322);
+  * snapshot ensembling in logit space (:324-336);
+  * probability calibration — temperature / Platt / isotonic fit on a held-out
+    val split (:339-370);
+  * ROC/PR AUC, per-threshold sweep 0.05..0.95 step 0.05 with best-F1 pick,
+    confusion matrices at 0.5 and best (:373-416);
+  * per-class probability statistics (:419-442);
+  * plots (ROC/PR/calibration/histograms/confusion) and TP/FP/FN/TN example
+    image dumps (:582);
+  * optional slide-level aggregation via the slide-base grouping (:554);
+  * structured ``evaluation/<testdir>_<suffixes>/`` outputs (:726-752).
+
+TPU-native: all 8 TTA views × batch go through ONE jitted forward per batch
+(:mod:`adipose_tpu.eval.tta`); calibration fits on host (sklearn, tiny data).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.eval.tta import make_classifier_tta_predict
+from adipose_tpu.train.trainer_classifier import extract_slide_base
+
+
+def predict_with_tta(predict_fn, variables, dataset, mode: str = "full",
+                     batch_size: int = 16) -> tuple:
+    """Predict a ClassificationDataset with geometric TTA; returns
+    (probs, labels)."""
+    tta = make_classifier_tta_predict(predict_fn, mode)
+    probs, labels = [], []
+    for imgs, labs in dataset.epoch_batches(0, shuffle=False):
+        out = np.asarray(tta(variables, jnp.asarray(imgs.astype(np.float32))))
+        probs.append(out)
+        labels.append(labs)
+    n = len(dataset)
+    return np.concatenate(probs)[:n], np.concatenate(labels)[:n]
+
+
+def ensemble_snapshots(prob_list) -> np.ndarray:
+    """Logit-space snapshot averaging (``eval_adipose_classifier.py:324-336``)."""
+    logits = [
+        np.log(np.clip(p, 1e-7, 1) / np.clip(1 - p, 1e-7, 1)) for p in prob_list
+    ]
+    return 1.0 / (1.0 + np.exp(-np.mean(logits, axis=0)))
+
+
+def fit_calibrator(probs: np.ndarray, labels: np.ndarray, method: str):
+    """(:339-370). Returns (method, model, info)."""
+    from sklearn.isotonic import IsotonicRegression
+    from sklearn.linear_model import LogisticRegression
+
+    if method == "temperature":
+        logits = np.log(probs / np.clip(1 - probs, 1e-7, 1))
+        clf = LogisticRegression()
+        clf.fit(logits.reshape(-1, 1), labels)
+        return ("temperature", clf, {"coef": clf.coef_.tolist(), "intercept": clf.intercept_.tolist()})
+    if method == "platt":
+        clf = LogisticRegression()
+        clf.fit(probs.reshape(-1, 1), labels)
+        return ("platt", clf, {"coef": clf.coef_.tolist(), "intercept": clf.intercept_.tolist()})
+    iso = IsotonicRegression(out_of_bounds="clip")
+    iso.fit(probs, labels)
+    t = iso.transform(probs)
+    return ("isotonic", iso, {"y_min": float(t.min()), "y_max": float(t.max())})
+
+
+def apply_calibrator(probs: np.ndarray, calibrator):
+    """(:362-370)."""
+    if calibrator is None:
+        return probs
+    method, model, _ = calibrator
+    if method == "temperature":
+        logits = np.log(probs / np.clip(1 - probs, 1e-7, 1))
+        return model.predict_proba(logits.reshape(-1, 1))[:, 1]
+    if method == "platt":
+        return model.predict_proba(probs.reshape(-1, 1))[:, 1]
+    return model.transform(probs)
+
+
+def evaluate_predictions(labels: np.ndarray, probs: np.ndarray) -> dict:
+    """AUCs + threshold sweep + confusion summaries (:373-416)."""
+    from sklearn import metrics as skm
+
+    out = {
+        "roc_auc": float(skm.roc_auc_score(labels, probs)),
+        "pr_auc": float(skm.average_precision_score(labels, probs)),
+    }
+    thresholds = np.linspace(0.05, 0.95, 19)
+    best_f1, best_thresh = -1.0, 0.5
+    per = []
+    for t in thresholds:
+        preds = (probs >= t).astype(int)
+        p = skm.precision_score(labels, preds, zero_division=0)
+        r = skm.recall_score(labels, preds, zero_division=0)
+        f1 = skm.f1_score(labels, preds, zero_division=0)
+        per.append({"threshold": float(t), "precision": p, "recall": r, "f1": f1})
+        if f1 > best_f1:
+            best_f1, best_thresh = f1, t
+
+    def summarize(thresh):
+        preds = (probs >= thresh).astype(int)
+        cm = skm.confusion_matrix(labels, preds, labels=[0, 1])
+        tn, fp, fn, tp = cm.ravel()
+        return {
+            "threshold": float(thresh),
+            "confusion_matrix": {"tn": int(tn), "fp": int(fp), "fn": int(fn), "tp": int(tp)},
+            "precision": float(skm.precision_score(labels, preds, zero_division=0)),
+            "recall": float(skm.recall_score(labels, preds, zero_division=0)),
+            "f1": float(skm.f1_score(labels, preds, zero_division=0)),
+            "specificity": float(tn / (tn + fp + 1e-7)),
+        }
+
+    out["threshold_metrics"] = {
+        "default_0.5": summarize(0.5),
+        "best_f1": summarize(best_thresh),
+        "per_threshold": per,
+    }
+    out["best_threshold"] = float(best_thresh)
+    return out
+
+
+def compute_class_statistics(labels: np.ndarray, probs: np.ndarray) -> dict:
+    """(:419-442)."""
+    out = {}
+    for name, mask in (("adipose", labels == 1), ("not_adipose", labels == 0)):
+        p = probs[mask]
+        out[name] = {
+            "count": int(mask.sum()),
+            "mean_prob": float(p.mean()) if mask.any() else 0.0,
+            "std_prob": float(p.std()) if mask.any() else 0.0,
+            "median_prob": float(np.median(p)) if mask.any() else 0.0,
+            "min_prob": float(p.min()) if mask.any() else 0.0,
+            "max_prob": float(p.max()) if mask.any() else 0.0,
+        }
+    return out
+
+
+def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray) -> dict:
+    """Slide-level mean probability + majority label (:554 analog)."""
+    groups: dict = {}
+    for f, lab, p in zip(files, labels, probs):
+        groups.setdefault(extract_slide_base(str(f)), []).append((lab, p))
+    out = {}
+    for slide, items in groups.items():
+        labs = np.array([l for l, _ in items])
+        ps = np.array([p for _, p in items])
+        out[slide] = {
+            "n_tiles": len(items),
+            "mean_prob": float(ps.mean()),
+            "frac_positive_tiles": float(labs.mean()),
+        }
+    return out
+
+
+def dump_examples(files, labels, probs, threshold: float, output_dir: Path,
+                  max_per_category: int = 20):
+    """TP/FP/FN/TN example-image dumps (:582)."""
+    output_dir = Path(output_dir)
+    preds = (probs >= threshold).astype(int)
+    counts = {"TP": 0, "FP": 0, "FN": 0, "TN": 0}
+    for f, lab, pr in zip(files, labels.astype(int), preds):
+        cat = ("TP" if lab and pr else "FP" if pr else "FN" if lab else "TN")
+        if counts[cat] >= max_per_category:
+            continue
+        d = output_dir / "examples" / cat
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(f, d / Path(f).name)
+        counts[cat] += 1
+    return counts
+
+
+def save_plots(labels: np.ndarray, probs: np.ndarray, output_dir: Path):
+    """ROC / PR / calibration / probability-histogram plots."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn import metrics as skm
+
+    output_dir = Path(output_dir)
+    fpr, tpr, _ = skm.roc_curve(labels, probs)
+    plt.figure(); plt.plot(fpr, tpr); plt.plot([0, 1], [0, 1], "--")
+    plt.xlabel("FPR"); plt.ylabel("TPR"); plt.title("ROC")
+    plt.savefig(output_dir / "roc_curve.png", dpi=120); plt.close()
+
+    prec, rec, _ = skm.precision_recall_curve(labels, probs)
+    plt.figure(); plt.plot(rec, prec)
+    plt.xlabel("Recall"); plt.ylabel("Precision"); plt.title("PR")
+    plt.savefig(output_dir / "pr_curve.png", dpi=120); plt.close()
+
+    bins = np.linspace(0, 1, 11)
+    centers = (bins[:-1] + bins[1:]) / 2
+    frac = [labels[(probs >= lo) & (probs < hi)].mean() if ((probs >= lo) & (probs < hi)).any() else np.nan
+            for lo, hi in zip(bins[:-1], bins[1:])]
+    plt.figure(); plt.plot(centers, frac, "o-"); plt.plot([0, 1], [0, 1], "--")
+    plt.xlabel("Predicted prob"); plt.ylabel("Observed freq"); plt.title("Calibration")
+    plt.savefig(output_dir / "calibration.png", dpi=120); plt.close()
+
+    plt.figure()
+    plt.hist(probs[labels == 1], bins=30, alpha=0.6, label="adipose")
+    plt.hist(probs[labels == 0], bins=30, alpha=0.6, label="not_adipose")
+    plt.legend(); plt.xlabel("Probability")
+    plt.savefig(output_dir / "probability_histogram.png", dpi=120); plt.close()
+
+
+def run_classifier_evaluation(
+    predict_fn,
+    variables_list,
+    dataset,
+    output_dir: str | Path,
+    tta_mode: str = "full",
+    use_tta: bool = True,
+    calibration: str | None = None,
+    calibration_split: float = 0.3,
+    save_examples: bool = True,
+    slide_aggregate: bool = True,
+    seed: int = 865,
+) -> dict:
+    """Full evaluation driver. ``variables_list``: one or more model snapshots
+    (>1 ⇒ logit-space ensembling)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    prob_list = []
+    labels = None
+    for variables in variables_list:
+        if use_tta:
+            probs, labels = predict_with_tta(predict_fn, variables, dataset, tta_mode)
+        else:
+            ps, ls = [], []
+            for imgs, labs in dataset.epoch_batches(0, shuffle=False):
+                ps.append(np.asarray(predict_fn(variables, jnp.asarray(imgs.astype(np.float32)))))
+                ls.append(labs)
+            probs, labels = np.concatenate(ps)[: len(dataset)], np.concatenate(ls)[: len(dataset)]
+        prob_list.append(probs)
+    probs = ensemble_snapshots(prob_list) if len(prob_list) > 1 else prob_list[0]
+
+    calibrator_info = None
+    if calibration:
+        rng = np.random.RandomState(seed)
+        idx = rng.permutation(len(probs))
+        n_cal = int(len(probs) * calibration_split)
+        cal_idx, eval_idx = idx[:n_cal], idx[n_cal:]
+        calibrator = fit_calibrator(probs[cal_idx], labels[cal_idx], calibration)
+        calibrator_info = {"method": calibrator[0], "info": calibrator[2]}
+        probs_eval = apply_calibrator(probs[eval_idx], calibrator)
+        labels_eval = labels[eval_idx]
+        files_eval = [dataset.files[i] for i in eval_idx]
+    else:
+        probs_eval, labels_eval, files_eval = probs, labels, list(dataset.files)
+
+    results = evaluate_predictions(labels_eval, probs_eval)
+    results["class_statistics"] = compute_class_statistics(labels_eval, probs_eval)
+    results["calibration"] = calibrator_info
+    if slide_aggregate:
+        results["slide_level"] = aggregate_by_slide(files_eval, labels_eval, probs_eval)
+
+    save_plots(labels_eval, probs_eval, output_dir)
+    if save_examples:
+        results["example_counts"] = dump_examples(
+            files_eval, labels_eval, probs_eval, results["best_threshold"], output_dir
+        )
+    import pandas as pd
+
+    pd.DataFrame({
+        "file": [str(f) for f in files_eval],
+        "label": labels_eval.astype(int),
+        "probability": probs_eval,
+    }).to_csv(output_dir / "predictions.csv", index=False)
+    (output_dir / "metrics.json").write_text(json.dumps(results, indent=2, default=float))
+    return results

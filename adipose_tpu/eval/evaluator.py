@@ -1,0 +1,303 @@
+"""Publication-quality evaluation driver.
+
+Behavioral spec: ``run_publication_evaluation`` + ``main``
+(``full_evaluation_enhanced.py:1446-2167``):
+  * deterministic seeds (1337), training-stat normalization (no leakage),
+    deep-supervision auto-detection from training_settings.log;
+  * per-tile inference with optional TTA and/or sliding-window+blending and/or
+    boundary refinement;
+  * slide-level threshold optimization (grid or two-stage adaptive);
+  * slide grouping → per-slide means of tile metrics → bootstrap CIs (10 000);
+  * artifact contract: ``<ckpt>/evaluation/<dataset>_<source>_<enhancements>/``
+    with ``{dataset}_comprehensive_results.csv``, ``metrics.json``,
+    per-tile predictions CSV, optional 4-panel visualizations.
+
+TPU-native: tiles are evaluated in fixed-size device batches (TTA folded into
+the same program); confusion counts, AUC, and threshold sweeps reduce on
+device; only boundary metrics (scipy EDT) stay on host.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from dataclasses import asdict
+from pathlib import Path
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.core.config import EvalConfig, UNetConfig
+from adipose_tpu.eval.boundary import BoundaryRefiner, calculate_boundary_metrics
+from adipose_tpu.eval.bootstrap import safe_bootstrap_ci
+from adipose_tpu.eval.sliding_window import SlidingWindowInference
+from adipose_tpu.eval.threshold import (
+    extract_slide_id,
+    optimize_threshold_adaptive,
+    optimize_threshold_f1_slide_level,
+)
+from adipose_tpu.eval.tta import make_tta_predict
+from adipose_tpu.models.unet import DilatedUNet
+from adipose_tpu.ops.metrics import auc_metrics, batched_pixel_metrics
+from adipose_tpu.train import checkpoint as ckpt
+from adipose_tpu.train.state import make_unet_predict
+
+METRIC_KEYS = (
+    "dice_score", "jaccard_index", "sensitivity", "specificity", "precision",
+    "f1_score", "accuracy", "roc_auc", "pr_auc", "hausdorff95", "assd",
+)
+
+
+def load_validation_data(val_root: str | Path):
+    """Flexible paired-file loader (``full_evaluation_enhanced.py:1386-1443``):
+    recurses images/ + masks/, pairs by stem, tolerates a '_mask' suffix."""
+    val_root = Path(val_root)
+    images_dir, masks_dir = val_root / "images", val_root / "masks"
+    if not images_dir.exists() or not masks_dir.exists():
+        raise FileNotFoundError(f"Image/mask dirs not found under {val_root}")
+    img_exts = {".jpg", ".jpeg", ".png", ".tif", ".tiff"}
+    image_files = sorted(
+        p for p in images_dir.rglob("*") if p.suffix.lower() in img_exts
+    )
+    masks_by_stem = {}
+    for m in masks_dir.rglob("*"):
+        if m.suffix.lower() in img_exts:
+            masks_by_stem.setdefault(m.stem, m)
+            if m.stem.endswith("_mask"):
+                masks_by_stem.setdefault(m.stem[: -len("_mask")], m)
+    pairs = [
+        (str(p), str(masks_by_stem[p.stem]))
+        for p in image_files
+        if p.stem in masks_by_stem
+    ]
+    if not pairs:
+        raise FileNotFoundError(f"No paired tiles under {val_root}")
+    return pairs
+
+
+def read_image_gray(path: str) -> np.ndarray:
+    """Grayscale load with 16-bit TIFF scaling
+    (``full_evaluation_enhanced.py:1356-1384``)."""
+    img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError(f"Failed to load {path}")
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    if img.dtype == np.uint16:
+        img = (img / 257.0).astype(np.float32)
+    return img.astype(np.float32)
+
+
+def build_output_dir(
+    checkpoint_dir: Path, test_dataset: Path, cfg: EvalConfig, output: str | None = None
+) -> Path:
+    """Enhancement-flag-encoded directory naming
+    (``full_evaluation_enhanced.py:2053-2101``) — consumed by the checkpoint
+    visualizer, so the encoding is part of the artifact contract."""
+    if output:
+        return Path(output)
+    dataset_name = test_dataset.name
+    parent = test_dataset.parent.name
+    source = "stain" if "stain" in parent.lower() else "original"
+    suffixes = []
+    if cfg.use_ema_weights:
+        suffixes.append("ema")
+    if cfg.use_tta:
+        suffixes.append(f"tta_{cfg.tta_mode}")
+    if cfg.use_sliding_window:
+        sw = f"sw_{cfg.blend_mode}"
+        if cfg.sliding_overlap != 0.5:
+            sw += f"_o{int(cfg.sliding_overlap * 100)}"
+        suffixes.append(sw)
+    if cfg.use_boundary_refinement:
+        suffixes.append("refine")
+    if cfg.adaptive_threshold:
+        suffixes.append("adaptive")
+    name = f"{dataset_name}_{source}" + ("_" + "_".join(suffixes) if suffixes else "")
+    return checkpoint_dir / "evaluation" / name
+
+
+class PublicationEvaluator:
+    def __init__(
+        self,
+        weights: str | Path,
+        cfg: EvalConfig | None = None,
+        model_cfg: UNetConfig | None = None,
+    ):
+        self.cfg = cfg or EvalConfig()
+        weights_path = ckpt.resolve_weights_path(weights, self.cfg.use_ema_weights)
+        self.checkpoint_dir = weights_path.parent
+        self.mean, self.std = ckpt.load_normalization_stats(self.checkpoint_dir)
+        use_ds = ckpt.detect_deep_supervision(self.checkpoint_dir)
+        self.model_cfg = model_cfg or UNetConfig(use_deep_supervision=use_ds)
+        self.model = DilatedUNet(
+            init_nb=self.model_cfg.init_nb,
+            dropout_rate=self.model_cfg.dropout_rate,
+            use_deep_supervision=self.model_cfg.use_deep_supervision,
+            compute_dtype=jnp.bfloat16
+            if self.model_cfg.compute_dtype == "bfloat16"
+            else jnp.float32,
+        )
+        self.params = ckpt.load_params(weights_path)
+        base_predict = make_unet_predict(self.model)
+
+        mean, std = float(self.mean), float(self.std)
+
+        def normalized_predict(params, tiles):
+            return base_predict(params, (tiles - mean) / (std + 1e-10))
+
+        self.predict_raw = normalized_predict
+        self.predict = (
+            make_tta_predict(normalized_predict, self.cfg.tta_mode)
+            if self.cfg.use_tta
+            else normalized_predict
+        )
+
+    # -- inference ------------------------------------------------------------
+
+    def predict_tiles(self, image_paths) -> list:
+        """Predict every tile; same-shape tiles batch together on device."""
+        cfg = self.cfg
+        refiner = BoundaryRefiner() if cfg.use_boundary_refinement else None
+        images = [read_image_gray(p) for p in image_paths]
+        preds: list = [None] * len(images)
+
+        if cfg.use_sliding_window:
+            sw = SlidingWindowInference(
+                tile_size=self.model_cfg.tile_size,
+                overlap=cfg.sliding_overlap,
+                blend_mode=cfg.blend_mode,
+                batch_size=cfg.batch_size,
+            )
+            for i, img in enumerate(images):
+                preds[i] = sw.predict(self.predict, self.params, img)
+        else:
+            by_shape = defaultdict(list)
+            for i, img in enumerate(images):
+                by_shape[img.shape].append(i)
+            for shape, idxs in by_shape.items():
+                b = cfg.batch_size
+                for s in range(0, len(idxs), b):
+                    chunk_idx = idxs[s : s + b]
+                    batch = np.stack([images[j] for j in chunk_idx])
+                    n = batch.shape[0]
+                    if n < b:
+                        batch = np.concatenate(
+                            [batch, np.repeat(batch[-1:], b - n, axis=0)]
+                        )
+                    out = np.asarray(self.predict(self.params, jnp.asarray(batch)))[:n]
+                    for k, j in enumerate(chunk_idx):
+                        preds[j] = out[k]
+        if refiner is not None:
+            preds = [refiner.refine(p) for p in preds]
+        return images, preds
+
+    # -- full evaluation ------------------------------------------------------
+
+    def evaluate(
+        self,
+        data_root: str | Path,
+        dataset_name: str = "test",
+        output_dir: str | Path | None = None,
+        optimize_threshold: bool | None = None,
+    ) -> dict:
+        cfg = self.cfg
+        np.random.seed(cfg.eval_seed)  # set_deterministic_seeds(1337) analog
+        data_root = Path(data_root)
+        out = (
+            Path(output_dir)
+            if output_dir
+            else build_output_dir(self.checkpoint_dir, data_root, cfg)
+        )
+        out.mkdir(parents=True, exist_ok=True)
+
+        pairs = load_validation_data(data_root)
+        tile_paths = [p for p, _ in pairs]
+        images, preds = self.predict_tiles(tile_paths)
+        trues = [
+            (read_image_gray(m) > 127).astype(np.float32) for _, m in pairs
+        ]
+
+        do_opt = cfg.optimize_threshold if optimize_threshold is None else optimize_threshold
+        if cfg.adaptive_threshold:
+            threshold, _ = optimize_threshold_adaptive(preds, trues, tile_paths)
+        elif do_opt:
+            threshold, _ = optimize_threshold_f1_slide_level(preds, trues, tile_paths)
+        else:
+            threshold = cfg.threshold
+
+        # Per-tile metrics: device-batched confusion + AUC, host boundary
+        pred_arr = jnp.asarray(np.stack(preds))
+        true_arr = jnp.asarray(np.stack(trues))
+        pm = batched_pixel_metrics(pred_arr, true_arr, threshold)
+        pm = {k: np.asarray(v) for k, v in pm.items()}
+        tile_rows = []
+        for i, path in enumerate(tile_paths):
+            am = {k: float(v) for k, v in auc_metrics(pred_arr[i], true_arr[i]).items()}
+            bm = calculate_boundary_metrics(preds[i], trues[i], threshold)
+            tile_rows.append({
+                "tile": Path(path).name,
+                "slide_id": extract_slide_id(path),
+                **{k: float(pm[k][i]) for k in (
+                    "dice_score", "jaccard_index", "sensitivity", "specificity",
+                    "precision", "f1_score", "accuracy")},
+                **am, **bm,
+            })
+
+        # Slide-level aggregation (:1629-1727): mean of tile metrics per slide,
+        # NaN/inf-filtered for AUC/boundary
+        slides = defaultdict(list)
+        for row in tile_rows:
+            slides[row["slide_id"]].append(row)
+        slide_metrics = {k: [] for k in METRIC_KEYS}
+        for sid, rows in slides.items():
+            for k in METRIC_KEYS:
+                vals = np.asarray([r[k] for r in rows], dtype=np.float64)
+                if k in ("roc_auc", "pr_auc", "hausdorff95", "assd"):
+                    vals = vals[np.isfinite(vals)]
+                slide_metrics[k].append(float(np.mean(vals)) if len(vals) else np.nan)
+
+        # Bootstrap CIs over slides (:1730-1745)
+        summary = {}
+        for k in METRIC_KEYS:
+            point, (lo, hi) = safe_bootstrap_ci(
+                np.asarray(slide_metrics[k]), n_bootstrap=cfg.n_bootstrap
+            )
+            summary[k] = {"mean": point, "ci_lower": lo, "ci_upper": hi}
+
+        results = {
+            "dataset": dataset_name,
+            "n_slides": len(slides),
+            "n_tiles": len(tile_paths),
+            "optimal_threshold": float(threshold),
+            "metrics": summary,
+            "config": asdict(cfg),
+        }
+        self._write_artifacts(out, dataset_name, results, tile_rows)
+        return results
+
+    def _write_artifacts(self, out: Path, dataset_name: str, results: dict, tile_rows):
+        import pandas as pd
+
+        (out / "metrics.json").write_text(json.dumps(results, indent=2))
+        pd.DataFrame(tile_rows).to_csv(out / "predictions.csv", index=False)
+        display = {
+            "dice_score": "Dice Score", "jaccard_index": "Jaccard Index (IoU)",
+            "sensitivity": "Sensitivity (Recall)", "specificity": "Specificity",
+            "precision": "Precision", "f1_score": "F1 Score",
+            "accuracy": "Accuracy", "roc_auc": "ROC AUC", "pr_auc": "PR AUC",
+            "hausdorff95": "Hausdorff95", "assd": "ASSD",
+        }
+        rows = []
+        for k, name in display.items():
+            m = results["metrics"][k]
+            rows.append({
+                "Metric": name, "Mean": m["mean"],
+                "CI_Lower": m["ci_lower"], "CI_Upper": m["ci_upper"],
+                "N_Slides": results["n_slides"], "N_Tiles": results["n_tiles"],
+                "Mean_CI": f"{m['mean']:.4f} [{m['ci_lower']:.4f}, {m['ci_upper']:.4f}]",
+            })
+        pd.DataFrame(rows).to_csv(
+            out / f"{dataset_name}_comprehensive_results.csv", index=False
+        )

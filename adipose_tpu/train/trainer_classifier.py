@@ -1,0 +1,267 @@
+"""Two-phase InceptionV3 classifier trainer.
+
+Behavioral spec: ``Classification/train_adipose_classifier_v0.py:410-512``:
+  phase 1 — frozen backbone, head-only, lr 1e-3, BCE(label_smoothing=0.1);
+  phase 2 — backbone unfrozen from ``mixed7``, lr 1e-4;
+  monitors ``val_auc`` (max): best checkpoint, ReduceLROnPlateau(0.5, patience),
+  EarlyStopping(patience+2, restore best), CSV log;
+  optional slide-level class weights (:180-233) — weights derived from how many
+  SLIDES contribute to each class, not tile counts;
+  per-tile percentile normalization before augmentation (:251-298);
+  input pipeline: grayscale → percentile-norm → augment → resize 299² → 3-ch
+  tile → inception preprocess — here all fused on device.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.core.config import ClassifierConfig, TrainConfig
+from adipose_tpu.core.seeding import key_for
+from adipose_tpu.data.augment import augment_grayscale_classification
+from adipose_tpu.data.loader import ClassificationDataset
+from adipose_tpu.models.inception import (
+    InceptionV3Classifier,
+    backbone_param_mask,
+)
+from adipose_tpu.ops import losses as L
+from adipose_tpu.ops.metrics import roc_auc
+from adipose_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from adipose_tpu.train import checkpoint as ckpt
+from adipose_tpu.train.schedules import EarlyStopping, ReduceLROnPlateau
+from adipose_tpu.train.state import (
+    TrainState,
+    classifier_stats_mask,
+    make_optimizer,
+    set_learning_rate,
+)
+
+
+def extract_slide_base(filename: str) -> str:
+    """Strip the trailing ``_rX_cY`` tile suffix
+    (``train_adipose_classifier_v0.py:152-177``)."""
+    stem = Path(filename).stem
+    parts = stem.split("_")
+    for i in range(len(parts) - 2, -1, -1):
+        if parts[i].startswith("r") and parts[i + 1].startswith("c"):
+            return "_".join(parts[:i])
+    return stem
+
+
+def compute_image_level_class_weights(
+    file_paths, labels, pos_weight_multiplier: float = 1.0
+) -> dict:
+    """Slide-level inverse-frequency weights (:180-233)."""
+    slide_labels: dict = {}
+    for path, label in zip(file_paths, labels):
+        slide_labels.setdefault(extract_slide_base(str(path)), set()).add(int(label))
+    slides_per_class = {0: 0, 1: 0}
+    for label_set in slide_labels.values():
+        for cls in (0, 1):
+            if cls in label_set:
+                slides_per_class[cls] += 1
+    total = len(slide_labels)
+    weights = {
+        cls: (total / (2.0 * n) if n else 0.0)
+        for cls, n in slides_per_class.items()
+    }
+    weights[1] *= pos_weight_multiplier
+    return weights
+
+
+def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
+                     p_low: float, p_high: float, stats_mask):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, images_u8, labels, class_w, rng):
+        imgs = images_u8.astype(jnp.float32)
+        if percentile_norm:
+            imgs = jax.vmap(
+                lambda im: jnp.clip(
+                    (im - jnp.percentile(im, p_low))
+                    / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+                    0.0, 1.0,
+                ) * 255.0
+            )(imgs)
+        aug_key, drop_key = jax.random.split(rng)
+        keys = jax.random.split(aug_key, imgs.shape[0])
+        imgs = jax.vmap(augment_grayscale_classification)(keys, imgs)
+        # resize 299² → 3ch → inception preprocess (:286-297)
+        x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
+        x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+
+        def compute(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": drop_key}, mutable=["batch_stats"],
+            )
+            ls = label_smoothing
+            y = labels * (1.0 - ls) + 0.5 * ls
+            per = -(y * jnp.log(jnp.clip(out, 1e-7, 1 - 1e-7))
+                    + (1 - y) * jnp.log(jnp.clip(1 - out, 1e-7, 1 - 1e-7)))
+            sample_w = jnp.where(labels > 0.5, class_w[1], class_w[0])
+            loss = jnp.mean(per * sample_w)
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (probs, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        if stats_mask is not None:
+            new_stats = jax.tree.map(
+                lambda keep, new, old: jnp.where(keep, new, old),
+                stats_mask, new_stats, state.batch_stats,
+            )
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        acc = jnp.mean(((probs > 0.5) == (labels > 0.5)).astype(jnp.float32))
+        return new_state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
+    @jax.jit
+    def step(params, batch_stats, images_u8):
+        imgs = images_u8.astype(jnp.float32)
+        if percentile_norm:
+            imgs = jax.vmap(
+                lambda im: jnp.clip(
+                    (im - jnp.percentile(im, p_low))
+                    / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+                    0.0, 1.0,
+                ) * 255.0
+            )(imgs)
+        x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
+        x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        )
+
+    return step
+
+
+class ClassifierTrainer:
+    def __init__(
+        self,
+        dataset_root: str | Path,
+        cfg: TrainConfig | None = None,
+        model_cfg: ClassifierConfig | None = None,
+        label_smoothing: float = 0.1,
+        percentile_norm: bool = True,
+        use_class_weights: bool = False,
+        pos_weight_multiplier: float = 1.0,
+        checkpoint_root: str | Path = "checkpoints/classifier_runs",
+        suffix: str = "",
+    ):
+        self.cfg = cfg or TrainConfig(batch_size=16)
+        self.model_cfg = model_cfg or ClassifierConfig()
+        self.label_smoothing = label_smoothing
+        self.percentile_norm = percentile_norm
+        self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
+        root = Path(dataset_root)
+        self.train_data = ClassificationDataset(root / "train", self.cfg.batch_size, self.cfg.seed)
+        self.val_data = ClassificationDataset(root / "val", self.cfg.batch_size, self.cfg.seed)
+        if not len(self.train_data):
+            raise FileNotFoundError(f"no classifier tiles under {root}")
+
+        ts = ckpt.timestamp_now()
+        norm_suffix = "_percentile" if percentile_norm else ""
+        self.ckpt_dir = Path(checkpoint_root) / (
+            f"{ts}_classifier_adipose_sybreosin{norm_suffix}{suffix}"
+        )
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+        if use_class_weights:
+            self.class_weights = compute_image_level_class_weights(
+                self.train_data.files, self.train_data.labels, pos_weight_multiplier
+            )
+        else:
+            self.class_weights = {0: 1.0, 1: 1.0}
+
+        self.model = InceptionV3Classifier(
+            dropout_rate=self.model_cfg.dropout_rate,
+            dtype=jnp.bfloat16 if self.model_cfg.compute_dtype == "bfloat16" else jnp.float32,
+        )
+        (self.ckpt_dir / "config.json").write_text(json.dumps({
+            "label_smoothing": label_smoothing,
+            "percentile_norm": percentile_norm,
+            "class_weights": self.class_weights,
+            **vars(self.cfg),
+        }, indent=2, default=str))
+
+    def init_variables(self):
+        variables = self.model.init(
+            key_for("classifier.init", self.cfg.seed), jnp.zeros((1, 299, 299, 3))
+        )
+        return replicate(self.mesh, variables)
+
+    def _run_phase(self, phase: int, variables, epochs: int, lr: float,
+                   unfreeze_from: str | None, patience: int = 3):
+        cfg = self.cfg
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        mask = backbone_param_mask(params, unfreeze_from)
+        smask = classifier_stats_mask(batch_stats, mask)
+        tx = make_optimizer(cfg.optimizer, lr, cfg.weight_decay, mask)
+        state = TrainState.create(params, tx, batch_stats)
+        train_step = _make_train_step(
+            self.model, self.label_smoothing, self.percentile_norm,
+            cfg.percentile_low, cfg.percentile_high, smask,
+        )
+        val_step = _make_val_step(
+            self.model, self.percentile_norm, cfg.percentile_low, cfg.percentile_high
+        )
+        plateau = ReduceLROnPlateau(lr=lr, patience=patience, min_lr=1e-6)
+        stopper = EarlyStopping(patience=patience + 2)
+        logger = ckpt.CsvLogger(self.ckpt_dir / "training.log")
+        class_w = jnp.asarray([self.class_weights[0], self.class_weights[1]], jnp.float32)
+
+        best_auc, best_vars = -np.inf, variables
+        for epoch in range(epochs):
+            t0 = time.time()
+            tms = []
+            for b, (imgs, labels) in enumerate(self.train_data.epoch_batches(epoch)):
+                rng = key_for(f"cls.p{phase}", cfg.seed, epoch * 100003 + b)
+                imgs, labels = shard_batch(self.mesh, (imgs, labels))
+                state, m = train_step(state, imgs, labels, class_w, rng)
+                tms.append(m)
+            probs, labels_all = [], []
+            for imgs, labels in self.val_data.epoch_batches(epoch, shuffle=False):
+                imgs = shard_batch(self.mesh, imgs)
+                probs.append(np.asarray(val_step(state.params, state.batch_stats, imgs)))
+                labels_all.append(labels)
+            probs = np.concatenate(probs)
+            labels_all = np.concatenate(labels_all)
+            val_auc = float(roc_auc(jnp.asarray(probs), jnp.asarray(labels_all)))
+            val_acc = float(np.mean((probs > 0.5) == (labels_all > 0.5)))
+            row = {
+                **{k: float(np.mean([float(x[k]) for x in tms])) for k in tms[0]},
+                "val_auc": val_auc, "val_acc": val_acc,
+                "lr": plateau.lr, "epoch_time_s": time.time() - t0,
+            }
+            logger.log(epoch, row)
+            if val_auc > best_auc:
+                best_auc = val_auc
+                best_vars = jax.device_get(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                )
+                ckpt.save_params(self.ckpt_dir, "weights_best", best_vars)
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, plateau.update(val_auc)))
+            if stopper.update(val_auc, epoch):
+                break
+        # EarlyStopping(restore_best_weights=True) semantics (:190-196)
+        return best_vars, best_auc
+
+    def train(self, warmup_epochs: int = 5, finetune_epochs: int = 20):
+        variables = self.init_variables()
+        v1, auc1 = self._run_phase(1, variables, warmup_epochs, 1e-3, None)
+        v2, auc2 = self._run_phase(
+            2, v1, finetune_epochs, 1e-4, self.model_cfg.unfreeze_from
+        )
+        ckpt.save_params(self.ckpt_dir, "weights_final", v2)
+        return {"phase1_val_auc": auc1, "phase2_val_auc": auc2,
+                "checkpoint_dir": str(self.ckpt_dir)}

@@ -1,0 +1,279 @@
+"""Two-phase U-Net fine-tuning driver.
+
+Behavioral spec: ``train_model`` (``train_adipose_unet_v3.py:1072-1443``):
+  phase 1 — frozen encoder, lr 1e-4, EMA decay 0.999 (not saved), best-by-val-
+            dice checkpoint, early stopping (patience 15), cosine+warmup or
+            ReduceLROnPlateau;
+  phase 2 — all layers from phase-1 best, lr 1e-5, EMA decay 0.995 with
+            best-snapshot saving, same callbacks; final best-overall = phase-2
+            best. Artifacts per :mod:`adipose_tpu.train.checkpoint`.
+
+TPU-native: one jitted train step per phase (augment → normalize → fwd/bwd →
+update fused on device); batches shard over the mesh 'data' axis, so the same
+driver trains on 1 chip or a v5e-8. Normalization happens on device from the
+precomputed dataset stats. The host loop only orchestrates epochs/callbacks.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.core.config import TrainConfig, UNetConfig
+from adipose_tpu.core.seeding import key_for
+from adipose_tpu.data.augment import TIERS, augment_batch
+from adipose_tpu.data.loader import TileDataset
+from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
+from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
+from adipose_tpu.ops.normalize import batched_percentile_unit
+from adipose_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from adipose_tpu.train import checkpoint as ckpt
+from adipose_tpu.train.ema import EmaTracker
+from adipose_tpu.train.schedules import EarlyStopping, ReduceLROnPlateau, cosine_with_warmup
+from adipose_tpu.train.state import (
+    TrainState,
+    make_optimizer,
+    make_unet_eval_step,
+    set_learning_rate,
+    unet_loss_from_config,
+)
+from adipose_tpu.ops import losses as L
+
+
+def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
+                           p_low: float, p_high: float):
+    """Augment + normalize + train in ONE jitted program.
+
+    The hot loop touches HBM once per batch: uint8 tiles arrive, everything
+    else (augment, normalize, fwd, bwd, optimizer) is fused by XLA.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("augment",),)
+    def step(state: TrainState, images_u8, masks_u8, rng, mean, std, augment=True):
+        images = images_u8.astype(jnp.float32)
+        masks = masks_u8.astype(jnp.float32)
+        if augment:
+            aug_key, drop_key = jax.random.split(rng)
+            keys = jax.random.split(aug_key, images.shape[0])
+            images, masks = jax.vmap(TIERS[tier])(keys, images, masks)
+        else:
+            drop_key = rng
+        if norm_method == "zscore":
+            images = (images - mean) / (std + 1e-10)
+        else:  # per-tile percentile (TileDataset :589-592)
+            images = jax.vmap(lambda im: jnp.clip(
+                (im - jnp.percentile(im, p_low))
+                / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+                0.0, 1.0))(images)
+
+        def compute(params):
+            out = model.apply(params, images, train=True, rngs={"dropout": drop_key})
+            loss = loss_fn(masks, out)
+            main = out["main_out"] if isinstance(out, dict) else out
+            return loss, main
+
+        (loss, main), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss, "dice_coef": L.dice_coef(masks, main)}
+
+    return step
+
+
+def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float):
+    @jax.jit
+    def step(params, images_u8, masks_u8, mean, std):
+        images = images_u8.astype(jnp.float32)
+        masks = masks_u8.astype(jnp.float32)
+        if norm_method == "zscore":
+            images = (images - mean) / (std + 1e-10)
+        else:
+            images = batched_percentile_unit(images, p_low, p_high)
+        out = model.apply(params, images, train=False)
+        main = out["main_out"] if isinstance(out, dict) else out
+        return {"loss": loss_fn(masks, out), "dice_coef": L.dice_coef(masks, main)}
+
+    return step
+
+
+class UNetTrainer:
+    def __init__(
+        self,
+        data_root: str | Path,
+        cfg: TrainConfig | None = None,
+        model_cfg: UNetConfig | None = None,
+        checkpoint_name: str = "adipose_sybreosin",
+        build_timestamp: str | None = None,
+        checkpoint_root: str | Path = "checkpoints/segmentation",
+    ):
+        self.cfg = cfg or TrainConfig()
+        self.model_cfg = model_cfg or UNetConfig()
+        self.data_root = Path(data_root)
+        self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
+        self.ckpt_dir = ckpt.checkpoint_dir_for(
+            checkpoint_name, build_timestamp, checkpoint_root
+        )
+        self.model = DilatedUNet(
+            init_nb=self.model_cfg.init_nb,
+            dropout_rate=self.model_cfg.dropout_rate,
+            use_deep_supervision=self.model_cfg.use_deep_supervision,
+            dilation_rates=tuple(self.model_cfg.dilation_rates),
+            compute_dtype=jnp.bfloat16
+            if self.model_cfg.compute_dtype == "bfloat16"
+            else jnp.float32,
+            remat=self.model_cfg.remat,
+        )
+        self.loss_fn = unet_loss_from_config(self.cfg)
+        self.history: list = []
+
+        ds = self.data_root / "dataset"
+        self.train_data = TileDataset(
+            ds / "train" / "images", ds / "train" / "masks",
+            self.cfg.batch_size, seed=self.cfg.seed,
+        )
+        self.val_data = TileDataset(
+            ds / "val" / "images", ds / "val" / "masks",
+            self.cfg.batch_size, seed=self.cfg.seed,
+        )
+        if not len(self.train_data):
+            raise FileNotFoundError(f"no training tiles under {ds}")
+
+        # Global train stats → normalization_stats.json (:1194-1207)
+        self.mean, self.std = compute_mean_std(
+            dataset_image_paths(ds / "train" / "images")
+        )
+        ckpt.save_normalization_stats(
+            self.ckpt_dir, self.mean, self.std, self.cfg.normalization_method
+        )
+
+    # -- phases ---------------------------------------------------------------
+
+    def init_params(self, tile_size: int | None = None):
+        size = tile_size or self.model_cfg.tile_size
+        sample = jnp.zeros((1, size, size))
+        params = self.model.init(key_for("unet.init", self.cfg.seed), sample)
+        return replicate(self.mesh, params)
+
+    def _run_phase(
+        self,
+        phase: int,
+        params,
+        epochs: int,
+        lr: float,
+        min_lr: float,
+        ema_decay: float,
+        freeze_encoder: bool,
+        save_ema: bool,
+        augment_tier: str,
+    ):
+        cfg = self.cfg
+        mask = (
+            encoder_param_mask(params["params"]) if freeze_encoder else None
+        )
+        tx = make_optimizer(
+            cfg.optimizer, lr, cfg.weight_decay,
+            {"params": mask} if mask is not None else None,
+        )
+        state = TrainState.create(params, tx)
+        train_step = _make_fused_train_step(
+            self.model, self.loss_fn, augment_tier,
+            cfg.normalization_method, cfg.percentile_low, cfg.percentile_high,
+        )
+        val_step = _make_val_step(
+            self.model, self.loss_fn,
+            cfg.normalization_method, cfg.percentile_low, cfg.percentile_high,
+        )
+        schedule = (
+            cosine_with_warmup(lr, min_lr, cfg.warmup_epochs, epochs)
+            if cfg.use_cosine_schedule
+            else None
+        )
+        plateau = None if schedule else ReduceLROnPlateau(lr=lr, min_lr=min_lr)
+        stopper = EarlyStopping(patience=cfg.early_stopping_patience)
+        ema = EmaTracker(decay=ema_decay) if cfg.use_ema else None
+        logger = ckpt.CsvLogger(self.ckpt_dir / f"phase{phase}_training.log")
+
+        mean = jnp.float32(self.mean)
+        std = jnp.float32(self.std)
+        best_dice = -np.inf
+        best_params = state.params
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            if schedule:
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, schedule(epoch))
+                )
+            train_metrics = []
+            for b, (imgs, masks) in enumerate(self.train_data.epoch_batches(epoch)):
+                rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
+                imgs, masks = shard_batch(self.mesh, (imgs, masks))
+                state, m = train_step(state, imgs, masks, rng, mean, std)
+                train_metrics.append(m)
+            val_metrics = []
+            for imgs, masks in self.val_data.epoch_batches(epoch, shuffle=False):
+                imgs, masks = shard_batch(self.mesh, (imgs, masks))
+                val_metrics.append(val_step(state.params, imgs, masks, mean, std))
+
+            tm = {k: float(np.mean([float(x[k]) for x in train_metrics])) for k in train_metrics[0]}
+            vm = {f"val_{k}": float(np.mean([float(x[k]) for x in val_metrics])) for k in val_metrics[0]}
+            row = {**tm, **vm, "lr": schedule(epoch) if schedule else plateau.lr,
+                   "epoch_time_s": time.time() - t0}
+            logger.log(epoch, row)
+            self.history.append({"phase": phase, "epoch": epoch, **row})
+
+            val_dice = vm["val_dice_coef"]
+            if ema is not None:
+                ema.update(state.params, metric=val_dice if save_ema else None)
+            if val_dice > best_dice:
+                best_dice = val_dice
+                # device_get: the live state's buffers are donated by the next
+                # train step, so the snapshot must own host copies
+                best_params = jax.device_get(state.params)
+                ckpt.save_params(self.ckpt_dir, f"phase{phase}_best", best_params)
+            if plateau is not None:
+                new_lr = plateau.update(val_dice)
+                state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+            if stopper.update(val_dice, epoch):
+                break
+
+        if ema is not None and save_ema and ema.snapshot is not None:
+            ckpt.save_params(self.ckpt_dir, "weights_ema", jax.device_get(ema.snapshot))
+        return best_params, best_dice
+
+    def train(self, epochs_phase1: int | None = None, epochs_phase2: int | None = None):
+        cfg = self.cfg
+        tier = cfg.augment_level
+        params = self.init_params()
+
+        ckpt.write_training_settings(self.ckpt_dir, {
+            **{k: v for k, v in vars(cfg).items()},
+            "use_deep_supervision": self.model_cfg.use_deep_supervision,
+            "init_nb": self.model_cfg.init_nb,
+            "tile_size": self.model_cfg.tile_size,
+            "train_tiles": len(self.train_data),
+            "val_tiles": len(self.val_data),
+            "normalization_mean": self.mean,
+            "normalization_std": self.std,
+        })
+
+        e1 = cfg.epochs_phase1 if epochs_phase1 is None else epochs_phase1
+        e2 = cfg.epochs_phase2 if epochs_phase2 is None else epochs_phase2
+
+        best1, dice1 = self._run_phase(
+            1, params, e1, cfg.lr_phase1, cfg.min_lr,
+            cfg.ema_decay_phase1, freeze_encoder=True, save_ema=False,
+            augment_tier=tier,
+        )
+        best2, dice2 = self._run_phase(
+            2, best1, e2, cfg.lr_phase2, cfg.min_lr * 0.1,
+            cfg.ema_decay_phase2, freeze_encoder=False, save_ema=True,
+            augment_tier=tier,
+        )
+        ckpt.save_params(self.ckpt_dir, "weights_best_overall", best2)
+        return {"phase1_best_dice": dice1, "phase2_best_dice": dice2,
+                "checkpoint_dir": str(self.ckpt_dir)}

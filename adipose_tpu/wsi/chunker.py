@@ -1,0 +1,169 @@
+"""WSI chunkers: adaptive (MS) and fixed-grid (Lucy).
+
+Behavioral spec:
+  * ``pre-post-processing_tools/large_wsi_to_small_wsi_MS.py`` — greedy 6144²
+    primary tiles with 1024-multiple edge fallback (``generate_axis_segments``
+    :486-511), 16→8-bit conversion (:119), optional inversion (:160),
+    enhancement variants zscore/percentile/CLAHE (:182-298), coordinate-encoded
+    names ``_x{X}_y{Y}_w{W}_h{H}``;
+  * ``large_wsi_to_small_wsi_Lucy.py`` — 2048-px tiles with 204-px overlap
+    (stride 1844), largest feasible grid 5×5→2×2 under size limits, names
+    ``_grid_{N}x{N}_tile_{K}`` (:283-398).
+
+Host-side IO + slicing (these run once per WSI on multi-GB files); the
+enhancement math (zscore/percentile/CLAHE) runs on device via the ops layer.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.core.config import WSIChunkConfig
+from adipose_tpu.ops.clahe import clahe
+from adipose_tpu.ops.normalize import percentile_stretch_255, zscore_to_target
+
+
+def generate_axis_segments(length: int, primary: int = 6144, multiple: int = 1024):
+    """(start, size) spans covering one axis (``..._MS.py:486-511``)."""
+    segments = []
+    if length <= 0:
+        return segments
+    pos = 0
+    while pos + primary <= length:
+        segments.append((pos, primary))
+        pos += primary
+    remainder = length - pos
+    if remainder > 0:
+        n = max(1, int(np.ceil(remainder / float(multiple))))
+        fallback = min(primary, n * multiple)
+        fallback = min(fallback, length)
+        start = max(0, length - fallback)
+        if segments and start <= segments[-1][0]:
+            start = max(0, segments[-1][0] + primary - fallback)
+        if start + fallback > length:
+            start = max(0, length - fallback)
+        segments.append((start, fallback))
+    return sorted(set(segments), key=lambda s: s[0])
+
+
+def convert_16_to_8bit(img: np.ndarray) -> np.ndarray:
+    """Min-max 16→8-bit (``..._MS.py:119-158``; also
+    ``convert_tif_to_jpg.py:118``)."""
+    if img.dtype != np.uint16:
+        return img.astype(np.uint8) if img.dtype != np.uint8 else img
+    lo, hi = int(img.min()), int(img.max())
+    if hi == lo:
+        return np.zeros_like(img, dtype=np.uint8)
+    return ((img.astype(np.float32) - lo) / (hi - lo) * 255.0).astype(np.uint8)
+
+
+def enhance(img: np.ndarray, method: str = "none") -> np.ndarray:
+    """Enhancement variants (``..._MS.py:182-298``), device-side math."""
+    if method == "none":
+        return img
+    x = jnp.asarray(img.astype(np.float32))
+    if method == "zscore":
+        out = zscore_to_target(x)
+    elif method == "percentile":
+        out = percentile_stretch_255(x)
+    elif method == "clahe":
+        h, w = img.shape[:2]
+        g = 8
+        ph, pw = (-h) % g, (-w) % g
+        if ph or pw:
+            x = jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
+        out = clahe(x)[:h, :w]
+    else:
+        raise ValueError(f"unknown enhancement: {method}")
+    return np.asarray(out).astype(np.uint8)
+
+
+def chunk_wsi_adaptive(
+    image_path: str | Path,
+    output_dir: str | Path,
+    cfg: WSIChunkConfig | None = None,
+) -> list:
+    """MS adaptive chunker. Returns written chunk paths; names carry
+    ``_x{X}_y{Y}_w{W}_h{H}``."""
+    cfg = cfg or WSIChunkConfig()
+    image_path, output_dir = Path(image_path), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    img = cv2.imread(str(image_path), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError(f"cannot read {image_path}")
+    if cfg.convert_16to8:
+        img = convert_16_to_8bit(img)
+    if cfg.invert:
+        img = 255 - img
+    h, w = img.shape[:2]
+    written = []
+    for y, th in generate_axis_segments(h, cfg.primary_tile, cfg.edge_multiple):
+        for x, tw in generate_axis_segments(w, cfg.primary_tile, cfg.edge_multiple):
+            chunk = img[y : y + th, x : x + tw]
+            if chunk.ndim == 2 and cfg.enhancement != "none":
+                chunk = enhance(chunk, cfg.enhancement)
+            name = f"{image_path.stem}_x{x}_y{y}_w{tw}_h{th}.jpg"
+            out = output_dir / name
+            cv2.imwrite(str(out), chunk, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            written.append(out)
+    return written
+
+
+def chunk_wsi_grid(
+    image_path: str | Path,
+    output_dir: str | Path,
+    cfg: WSIChunkConfig | None = None,
+    preferred_grids: tuple = (5, 4, 3, 2),
+    max_file_size_mb: float = 50.0,
+) -> list:
+    """Lucy fixed-grid chunker: overlapping 2048/204 tiles grouped into the
+    largest feasible N×N piece (``..._Lucy.py:283-398``). Names:
+    ``_grid_{N}x{N}_tile_{K}`` with K row-major."""
+    cfg = cfg or WSIChunkConfig()
+    tile, overlap = cfg.grid_tile, cfg.grid_overlap
+    stride = tile - overlap
+    image_path, output_dir = Path(image_path), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    img = cv2.imread(str(image_path), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError(f"cannot read {image_path}")
+    if cfg.convert_16to8:
+        img = convert_16_to_8bit(img)
+    h, w = img.shape[:2]
+    total_cols = 1 + max(0, int(np.ceil((w - tile) / stride)))
+    total_rows = 1 + max(0, int(np.ceil((h - tile) / stride)))
+
+    def piece_dim(g):
+        return tile + (g - 1) * stride
+
+    grid = None
+    for g in preferred_grids:
+        if g > total_cols or g > total_rows:
+            continue
+        d = piece_dim(g)
+        est_mb = d * d * (img.itemsize if img.ndim == 2 else 3 * img.itemsize) * 0.15 / 2**20
+        if est_mb <= max_file_size_mb:
+            grid = g
+            break
+    if grid is None:
+        grid = 1
+
+    written = []
+    k = 0
+    for r0 in range(0, total_rows, grid):
+        for c0 in range(0, total_cols, grid):
+            y = r0 * stride
+            x = c0 * stride
+            d = piece_dim(min(grid, total_rows - r0, total_cols - c0))
+            y = min(y, max(0, h - d))
+            x = min(x, max(0, w - d))
+            piece = img[y : y + d, x : x + d]
+            name = f"{image_path.stem}_grid_{grid}x{grid}_tile_{k}.jpg"
+            cv2.imwrite(str(output_dir / name), piece, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            written.append(output_dir / name)
+            k += 1
+    return written

@@ -9,12 +9,19 @@ compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-assign: the environment pre-sets JAX_PLATFORMS=axon (the TPU tunnel
+# plugin), so setdefault would silently leave tests running on the single
+# remote TPU — slow, and concurrent test processes deadlock on it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,281 @@
+"""Data-layer tests: on-device augmentation, rasterization, tile planning,
+dataset builder end-to-end on synthetic slides."""
+
+import json
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adipose_tpu.core.config import DataBuildConfig
+from adipose_tpu.data import augment, rasterize, stats
+from adipose_tpu.data.loader import ClassificationDataset, TileDataset
+from adipose_tpu.data.tiling import (
+    SegmentationDatasetBuilder,
+    SlideSource,
+    discover_slides,
+    find_most_recent_build_dir,
+    tile_coords,
+)
+
+
+class TestAugment:
+    @pytest.fixture
+    def pair(self, rng):
+        img = jnp.asarray((rng.rand(64, 64) * 255).astype(np.float32))
+        mask = jnp.asarray((rng.rand(64, 64) > 0.7).astype(np.float32))
+        return img, mask
+
+    def test_all_tiers_preserve_shapes_and_ranges(self, pair):
+        img, mask = pair
+        for tier, fn in augment.TIERS.items():
+            ai, am = fn(jax.random.PRNGKey(1), img, mask)
+            assert ai.shape == img.shape, tier
+            assert am.shape == mask.shape, tier
+            ai, am = np.asarray(ai), np.asarray(am)
+            assert ai.min() >= 0 and ai.max() <= 255, tier
+            assert set(np.round(np.unique(am), 3)) <= {0.0, 1.0}, tier
+
+    def test_deterministic_given_key(self, pair):
+        img, mask = pair
+        a1 = augment.augment_pair_moderate(jax.random.PRNGKey(5), img, mask)
+        a2 = augment.augment_pair_moderate(jax.random.PRNGKey(5), img, mask)
+        assert np.array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    def test_different_keys_differ(self, pair):
+        img, mask = pair
+        a1 = augment.augment_pair_heavy(jax.random.PRNGKey(1), img, mask)
+        a2 = augment.augment_pair_heavy(jax.random.PRNGKey(2), img, mask)
+        assert not np.array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+
+    def test_geometry_applied_jointly(self, rng):
+        """Rotations/flips must keep image and mask aligned."""
+        img = jnp.asarray(np.arange(64 * 64, dtype=np.float32).reshape(64, 64) % 251)
+        mask = (img > 125).astype(jnp.float32)
+        for key in range(6):
+            ai, am = augment.augment_pair_light(jax.random.PRNGKey(key), img, mask)
+            # light tier: only rot/flip/brightness; thresholding the augmented
+            # image must reproduce the augmented mask wherever brightness
+            # didn't cross the threshold — use correlation instead of equality
+            corr = np.corrcoef(
+                (np.asarray(ai) > np.median(np.asarray(ai))).ravel(),
+                np.asarray(am).ravel(),
+            )[0, 1]
+            assert corr > 0.9
+
+    def test_batch_augment(self, rng):
+        imgs = jnp.asarray((rng.rand(4, 32, 32) * 255).astype(np.float32))
+        masks = jnp.asarray((rng.rand(4, 32, 32) > 0.5).astype(np.float32))
+        ai, am = augment.augment_batch(jax.random.PRNGKey(0), imgs, masks, "moderate")
+        assert ai.shape == (4, 32, 32)
+        # per-sample keys: members differ from each other
+        assert not np.array_equal(np.asarray(ai[0]), np.asarray(ai[1]))
+
+    def test_classification_augment(self, rng):
+        img = jnp.asarray((rng.rand(64, 64) * 255).astype(np.float32))
+        out = augment.augment_grayscale_classification(jax.random.PRNGKey(3), img)
+        assert out.shape == img.shape
+
+    def test_elastic_preserves_mean(self, pair):
+        img, mask = pair
+        di, dm = augment.elastic_transform(jax.random.PRNGKey(0), img, mask)
+        assert abs(float(jnp.mean(di)) - float(jnp.mean(img))) < 10.0
+
+    def test_select_tier(self):
+        assert augment.select_tier(100) == "heavy"
+        assert augment.select_tier(300) == "moderate"
+        assert augment.select_tier(1000) == "light"
+
+
+class TestRasterize:
+    def make_annotation(self, tmp_path, polys_conf):
+        """polys_conf: list of (points, confidence|None)."""
+        records = []
+        for pts, conf in polys_conf:
+            rec = {"annotation": {"elements": [
+                {"type": "polyline", "points": [[float(x), float(y)] for x, y in pts]}
+            ]}}
+            if conf is not None:
+                rec["confidenceScore"] = conf
+            records.append(rec)
+        p = tmp_path / "ann.json"
+        p.write_text(json.dumps(records))
+        return p
+
+    def test_confidence_filtering(self, tmp_path):
+        square = [(10, 10), (30, 10), (30, 30), (10, 30)]
+        p = self.make_annotation(tmp_path, [(square, 1), (square, 3)])
+        polys, missing = rasterize.load_json_annotations(p, min_confidence=2)
+        assert len(polys) == 1
+        assert not missing
+        polys, _ = rasterize.load_json_annotations(p, min_confidence=1)
+        assert len(polys) == 2
+
+    def test_missing_confidence_included_and_flagged(self, tmp_path):
+        square = [(0, 0), (5, 0), (5, 5)]
+        p = self.make_annotation(tmp_path, [(square, None)])
+        polys, missing = rasterize.load_json_annotations(p, min_confidence=3)
+        assert len(polys) == 1 and missing
+
+    def test_binary_mask_matches_cv2(self, tmp_path):
+        square = np.array([(10, 10), (30, 10), (30, 30), (10, 30)])
+        mask = rasterize.create_binary_mask([square], 64, 64)
+        assert mask[20, 20] == 1 and mask[5, 5] == 0
+        assert mask.sum() == pytest.approx(21 * 21, rel=0.05)
+
+    def test_tile_annotations_local_coords(self, tmp_path):
+        square = [(100, 100), (120, 100), (120, 120), (100, 120)]
+        p = self.make_annotation(tmp_path, [(square, 2)])
+        polys, low_only = rasterize.get_tile_annotations(p, (96, 96, 160, 160), 1)
+        assert len(polys) == 1 and not low_only
+        assert polys[0].min() >= 0 and polys[0].max() <= 64
+
+    def test_low_confidence_only_flag(self, tmp_path):
+        square = [(10, 10), (20, 10), (20, 20)]
+        p = self.make_annotation(tmp_path, [(square, 1)])
+        _, low_only = rasterize.get_tile_annotations(p, (0, 0, 64, 64), 3)
+        assert low_only
+
+    def test_prepare_target_mask_subtracts_bubbles(self):
+        fat = np.zeros((64, 64), np.uint8)
+        fat[10:40, 10:40] = 1
+        bubbles = np.zeros_like(fat)
+        bubbles[20:30, 20:30] = 1
+        out = rasterize.prepare_target_mask(fat, bubbles, close_kernel=1,
+                                            min_component_area=0)
+        assert out[15, 15] == 1 and out[25, 25] == 0
+
+    def test_remove_small_components(self):
+        m = np.zeros((64, 64), np.uint8)
+        m[5:8, 5:8] = 1      # 9 px
+        m[20:40, 20:40] = 1  # 400 px
+        out = rasterize.remove_small_components(m, 50)
+        assert out[6, 6] == 0 and out[30, 30] == 1
+
+
+class TestTiling:
+    def test_tile_coords_cover_edges(self):
+        coords = tile_coords(100, 150, 64, 64)
+        ys = {c[2] for c in coords}
+        xs = {c[3] for c in coords}
+        assert max(ys) + 64 == 100  # bottom edge covered (clamped)
+        assert max(xs) + 64 == 150
+        assert tile_coords(50, 50, 64, 64) == []  # too small
+
+    @pytest.fixture
+    def synthetic_slides(self, tmp_path, rng):
+        """Two synthetic 192² slides with polygon annotations."""
+        pseudo = tmp_path / "Pseudocolored"
+        fat_dir = tmp_path / "Masks" / "fat"
+        pseudo.mkdir(parents=True)
+        fat_dir.mkdir(parents=True)
+        for s in range(2):
+            img = (rng.rand(192, 192) * 80 + 100).astype(np.uint8)
+            # fat blob region drawn brighter
+            cv2.circle(img, (96, 96), 40, 255, -1)
+            cv2.imwrite(str(pseudo / f"slide{s}.jpg"), img)
+            square = [[60.0, 60.0], [130.0, 60.0], [130.0, 130.0], [60.0, 130.0]]
+            (fat_dir / f"slide{s}.json").write_text(json.dumps([
+                {"confidenceScore": 3,
+                 "annotation": {"elements": [{"type": "polyline", "points": square}]}}
+            ]))
+        return tmp_path
+
+    def test_discover_slides(self, synthetic_slides):
+        slides = discover_slides(synthetic_slides)
+        assert len(slides) == 2
+        assert all(s.fat_json is not None for s in slides)
+
+    def test_builder_end_to_end(self, synthetic_slides):
+        cfg = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.5,
+                              test_fraction=0.0, negative_fraction=0.4)
+        builder = SegmentationDatasetBuilder(cfg, out_parent=synthetic_slides)
+        build_root = builder.build(synthetic_slides)
+        assert (build_root / "build_log.json").exists()
+        assert (build_root / "build_summary.txt").exists()
+        counts = builder.stats.split_counts
+        total = sum(counts.values())
+        assert total > 0
+        # tile naming contract {base}_r{ri}_c{ci}
+        some = next((build_root / "dataset" / "train" / "images").glob("*.jpg"), None) or \
+               next((build_root / "dataset" / "val" / "images").glob("*.jpg"))
+        assert "_r" in some.stem and "_c" in some.stem
+        # images pair with masks by stem
+        for split, n in counts.items():
+            imgs = list((build_root / "dataset" / split / "images").glob("*.jpg"))
+            masks = {p.stem for p in (build_root / "dataset" / split / "masks").glob("*.tif")}
+            assert len(imgs) == n
+            assert all(p.stem in masks for p in imgs)
+        # a loadable dataset results
+        tds = TileDataset(build_root / "dataset" / "train" / "images",
+                          build_root / "dataset" / "train" / "masks", 2)
+        imgs, masks = next(tds.epoch_batches(0))
+        assert imgs.shape == (2, 64, 64)
+
+    def test_negative_fraction(self, synthetic_slides):
+        cfg = DataBuildConfig(tile_size=64, stride=64, negative_fraction=0.4,
+                              val_fraction=0.0, test_fraction=0.0)
+        builder = SegmentationDatasetBuilder(cfg, out_parent=synthetic_slides)
+        builder.build(synthetic_slides)
+        s = builder.stats
+        if s.tiles_kept_neg > 0:
+            frac = s.tiles_kept_neg / (s.tiles_kept_pos + s.tiles_kept_neg)
+            assert frac <= 0.45
+
+    def test_find_most_recent_build_dir(self, tmp_path):
+        (tmp_path / "_build_20240101_000000").mkdir()
+        (tmp_path / "_build_20250101_000000").mkdir()
+        assert find_most_recent_build_dir(tmp_path).name == "_build_20250101_000000"
+        with pytest.raises(FileNotFoundError):
+            find_most_recent_build_dir(tmp_path / "nope")
+
+
+class TestLoaders:
+    def test_tile_dataset_epoch_determinism(self, tmp_path, rng):
+        (tmp_path / "images").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(5):
+            cv2.imwrite(str(tmp_path / "images" / f"t_r{i}_c0.jpg"),
+                        (rng.rand(16, 16) * 255).astype(np.uint8))
+            cv2.imwrite(str(tmp_path / "masks" / f"t_r{i}_c0.tif"),
+                        (rng.rand(16, 16) > 0.5).astype(np.uint8) * 255)
+        ds = TileDataset(tmp_path / "images", tmp_path / "masks", 2, seed=1)
+        b1 = [i.sum() for i, _ in ds.epoch_batches(0)]
+        b2 = [i.sum() for i, _ in ds.epoch_batches(0)]
+        assert b1 == b2  # same epoch ⇒ same order
+        b3 = [i.sum() for i, _ in ds.epoch_batches(1)]
+        assert b1 != b3 or len(b1) == 1
+
+    def test_classification_dataset(self, tmp_path, rng):
+        for cls in ("adipose", "not_adipose"):
+            (tmp_path / "train" / cls).mkdir(parents=True)
+            for i in range(3):
+                cv2.imwrite(str(tmp_path / "train" / cls / f"s_r{i}_c0.jpg"),
+                            (rng.rand(16, 16) * 255).astype(np.uint8))
+        ds = ClassificationDataset(tmp_path / "train", 4)
+        assert len(ds) == 6
+        assert ds.class_counts() == (3, 3)
+        imgs, labels = next(ds.epoch_batches(0))
+        assert imgs.shape == (4, 16, 16)
+        assert set(labels) <= {0.0, 1.0}
+
+
+class TestStats:
+    def test_streaming_mean_std(self, tmp_path, rng):
+        paths = []
+        pixels = []
+        for i in range(3):
+            a = (rng.rand(32, 32) * 255).astype(np.uint8)
+            p = tmp_path / f"{i}.png"
+            cv2.imwrite(str(p), a)
+            paths.append(p)
+            pixels.append(cv2.imread(str(p), cv2.IMREAD_GRAYSCALE).ravel())
+        allpix = np.concatenate(pixels).astype(np.float64)
+        mean, std = stats.compute_mean_std(paths)
+        assert mean == pytest.approx(allpix.mean(), abs=1e-6)
+        assert std == pytest.approx(allpix.std(), abs=1e-6)
+
+    def test_empty_fallback(self):
+        assert stats.compute_mean_std([]) == (127.5, 50.0)

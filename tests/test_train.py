@@ -1,0 +1,211 @@
+"""Training-layer tests: schedules, EMA, optimizer masking, multi-device step,
+and a tiny end-to-end two-phase training run on an 8-device virtual mesh."""
+
+import math
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adipose_tpu.core.config import TrainConfig, UNetConfig
+from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
+from adipose_tpu.parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
+from adipose_tpu.train.ema import EmaTracker
+from adipose_tpu.train.schedules import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    cosine_with_warmup,
+    cyclic_lr,
+)
+from adipose_tpu.train.state import (
+    TrainState,
+    make_optimizer,
+    set_learning_rate,
+    unet_loss_from_config,
+)
+
+
+class TestSchedules:
+    def test_cosine_warmup_matches_reference_formula(self):
+        s = cosine_with_warmup(1e-4, 1e-7, warmup_epochs=5, total_epochs=50)
+        # warmup: lr = (max_lr/warmup)*(epoch+1) (:390-392)
+        for e in range(5):
+            assert s(e) == pytest.approx((1e-4 / 5) * (e + 1))
+        # cosine (:394-396)
+        for e in (5, 20, 49):
+            progress = (e - 5) / 45
+            want = 1e-7 + 0.5 * (1e-4 - 1e-7) * (1 + math.cos(math.pi * progress))
+            assert s(e) == pytest.approx(want)
+
+    def test_clr_triangular(self):
+        s = cyclic_lr(0.001, 0.006, step_size=100, mode="triangular")
+        assert s(0) == pytest.approx(0.001)
+        assert s(100) == pytest.approx(0.006)  # peak of first cycle
+        assert s(200) == pytest.approx(0.001)
+
+    def test_clr_triangular2_halves(self):
+        s = cyclic_lr(0.0, 1.0, step_size=10, mode="triangular2")
+        assert s(10) == pytest.approx(1.0)
+        assert s(30) == pytest.approx(0.5)  # second cycle peak halved
+
+    def test_plateau_reduces_after_patience(self):
+        p = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+        p.update(0.5)
+        for _ in range(2):
+            p.update(0.4)  # no improvement
+        assert p.lr == pytest.approx(0.5)
+
+    def test_early_stopping(self):
+        e = EarlyStopping(patience=3)
+        stops = [e.update(0.5 - 0.01 * i, i) for i in range(6)]
+        assert stops[-1] is True
+        assert e.best_epoch == 0
+
+
+class TestEma:
+    def test_first_update_copies(self):
+        t = EmaTracker(decay=0.9)
+        p = {"w": jnp.ones(3)}
+        t.update(p)
+        assert np.allclose(np.asarray(t.ema_params["w"]), 1.0)
+
+    def test_update_formula(self):
+        t = EmaTracker(decay=0.9)
+        t.update({"w": jnp.ones(3)})
+        t.update({"w": jnp.zeros(3)})
+        assert np.allclose(np.asarray(t.ema_params["w"]), 0.9)
+
+    def test_best_snapshot(self):
+        t = EmaTracker(decay=0.5)
+        t.update({"w": jnp.ones(1)}, metric=0.5)
+        snap_at_best = t.ema_params
+        t.update({"w": jnp.zeros(1)}, metric=0.3)  # worse, snapshot unchanged
+        assert np.allclose(np.asarray(t.snapshot["w"]), np.asarray(snap_at_best["w"]))
+
+
+class TestOptimizer:
+    def test_masked_optimizer_freezes(self):
+        params = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        mask = {"a": False, "b": True}
+        tx = make_optimizer("adam", 0.1, trainable_mask=mask)
+        state = TrainState.create(params, tx)
+        grads = {"a": jnp.ones(3), "b": jnp.ones(3)}
+        state = state.apply_gradients(grads)
+        assert np.allclose(np.asarray(state.params["a"]), 1.0)  # frozen
+        assert not np.allclose(np.asarray(state.params["b"]), 1.0)
+
+    def test_set_learning_rate_found(self):
+        params = {"a": jnp.ones(3)}
+        tx = make_optimizer("adam", 0.1)
+        state = TrainState.create(params, tx)
+        new = set_learning_rate(state.opt_state, 0.05)
+        # next update uses the new LR: single grad step moves by ~lr
+        updates, _ = tx.update({"a": jnp.ones(3)}, new, params)
+        assert abs(float(updates["a"][0])) == pytest.approx(0.05, rel=0.01)
+
+    def test_loss_matrix_selection(self):
+        y = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16).astype(np.float32))
+        p = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16).astype(np.float32))
+        vals = set()
+        for hm in (False, True):
+            for ls in (False, True):
+                cfg = TrainConfig(use_hard_mining=hm, use_label_smoothing=ls)
+                fn = unet_loss_from_config(cfg)
+                vals.add(round(float(fn(y, p)), 6))
+        assert len(vals) == 4  # four distinct behaviors
+
+
+class TestMultiDevice:
+    def test_mesh_has_8_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+    def test_sharded_train_step_matches_single_device(self, rng):
+        """Gradient step on an 8-way sharded batch must equal the unsharded
+        one — the distributed-correctness test the reference never had."""
+        model = DilatedUNet(init_nb=4, compute_dtype=jnp.float32)
+        x = jnp.asarray(rng.randn(8, 32, 32).astype(np.float32))
+        y = jnp.asarray((rng.rand(8, 32, 32) > 0.5).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x[:1])
+        cfg = TrainConfig()
+        loss_fn = unet_loss_from_config(cfg)
+
+        def one_step(params, xs, ys):
+            tx = make_optimizer("adam", 1e-3)
+            state = TrainState.create(params, tx)
+
+            def compute(p):
+                out = model.apply(p, xs, train=False)
+                return loss_fn(ys, out)
+
+            loss, grads = jax.value_and_grad(compute)(state.params)
+            return loss, state.apply_gradients(grads).params
+
+        loss_ref, params_ref = jax.jit(one_step)(params, x, y)
+
+        mesh = make_mesh()
+        params_r = replicate(mesh, params)
+        xs = jax.device_put(x, data_sharding(mesh, 3))
+        ys = jax.device_put(y, data_sharding(mesh, 3))
+        loss_sh, params_sh = jax.jit(one_step)(params_r, xs, ys)
+
+        assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), params_ref, params_sh
+        )
+        assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path, rng):
+    """Synthetic 64² tile dataset in the reference's build layout."""
+    for split, n in (("train", 8), ("val", 4)):
+        img_dir = tmp_path / "dataset" / split / "images"
+        mask_dir = tmp_path / "dataset" / split / "masks"
+        img_dir.mkdir(parents=True)
+        mask_dir.mkdir(parents=True)
+        for i in range(n):
+            mask = np.zeros((64, 64), np.uint8)
+            cy, cx = rng.randint(16, 48, 2)
+            yy, xx = np.mgrid[0:64, 0:64]
+            mask[(yy - cy) ** 2 + (xx - cx) ** 2 < 100] = 255
+            img = np.where(mask > 0, 210, 120).astype(np.uint8)
+            img = np.clip(img + rng.randint(-20, 20, (64, 64)), 0, 255).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"slide{i % 2}_r{i}_c0.jpg"), img)
+            cv2.imwrite(str(mask_dir / f"slide{i % 2}_r{i}_c0.tif"), mask)
+    return tmp_path
+
+
+class TestEndToEndTraining:
+    def test_two_phase_training_learns_and_writes_artifacts(self, tiny_dataset):
+        from adipose_tpu.train.trainer_unet import UNetTrainer
+
+        # Phase 1 freezes a RANDOM encoder (the reference's transfer-learning
+        # flow assumes a pretrained one), so the learning signal of this smoke
+        # test comes from phase 2; keep phase 1 short.
+        cfg = TrainConfig(batch_size=4, use_ema=True,
+                          lr_phase1=3e-3, lr_phase2=3e-3,
+                          augment_level="light")
+        mcfg = UNetConfig(tile_size=64, init_nb=4, compute_dtype="float32")
+        trainer = UNetTrainer(
+            tiny_dataset, cfg, mcfg,
+            checkpoint_root=tiny_dataset / "checkpoints",
+        )
+        result = trainer.train(epochs_phase1=3, epochs_phase2=25)
+        ckpt_dir = tiny_dataset / "checkpoints"
+        run_dir = next(ckpt_dir.iterdir())
+        # artifact contract (train_adipose_unet_v3.py:52-61)
+        assert (run_dir / "normalization_stats.json").exists()
+        assert (run_dir / "training_settings.log").exists()
+        assert (run_dir / "phase1_best").is_dir()
+        assert (run_dir / "phase2_best").is_dir()
+        assert (run_dir / "weights_best_overall").is_dir()
+        assert (run_dir / "weights_ema").is_dir()
+        assert (run_dir / "phase1_training.log").exists()
+        # learning happened: dice above chance on the blob task
+        assert result["phase2_best_dice"] > 0.15
+        # history recorded losses
+        losses = [h["loss"] for h in trainer.history]
+        assert losses[-1] < losses[0]

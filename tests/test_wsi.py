@@ -1,0 +1,228 @@
+"""WSI-layer tests: chunkers, ECM preprocessing, reconstruction parsing,
+overlays, modality comparison, dual-model pipeline."""
+
+import json
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adipose_tpu.core.config import ECMPreprocessConfig, WSIChunkConfig
+from adipose_tpu.wsi import compare, ecm, overlay, reconstruct
+from adipose_tpu.wsi.chunker import (
+    chunk_wsi_adaptive,
+    chunk_wsi_grid,
+    convert_16_to_8bit,
+    generate_axis_segments,
+)
+
+
+class TestChunker:
+    def test_axis_segments_cover_length(self):
+        for length in (6144, 10000, 7000, 500, 13000):
+            segs = generate_axis_segments(length)
+            assert segs[0][0] == 0
+            assert max(s + z for s, z in segs) == length
+            # primary tiles are 6144, fallbacks are 1024-multiples ≤ 6144
+            for start, size in segs:
+                assert size <= 6144
+                assert size % 1024 == 0 or size == length
+
+    def test_axis_segments_empty(self):
+        assert generate_axis_segments(0) == []
+
+    def test_convert_16_to_8bit(self):
+        img = np.array([[0, 65535], [32768, 16384]], np.uint16)
+        out = convert_16_to_8bit(img)
+        assert out.dtype == np.uint8
+        assert out[0, 0] == 0 and out[0, 1] == 255
+
+    def test_adaptive_chunker(self, tmp_path, rng):
+        img = (rng.rand(2500, 3000) * 255).astype(np.uint8)
+        src = tmp_path / "wsi.png"
+        cv2.imwrite(str(src), img)
+        cfg = WSIChunkConfig(primary_tile=1024, edge_multiple=512)
+        out = chunk_wsi_adaptive(src, tmp_path / "chunks", cfg)
+        assert out
+        # coordinate-encoded names
+        assert all("_x" in p.stem and "_y" in p.stem and "_w" in p.stem for p in out)
+        # chunks reassemble the full extent
+        max_x = max(int(p.stem.split("_x")[1].split("_")[0]) +
+                    int(p.stem.split("_w")[1].split("_")[0]) for p in out)
+        assert max_x == 3000
+
+    def test_grid_chunker(self, tmp_path, rng):
+        img = (rng.rand(2048, 2048) * 255).astype(np.uint8)
+        src = tmp_path / "wsi.png"
+        cv2.imwrite(str(src), img)
+        cfg = WSIChunkConfig(grid_tile=512, grid_overlap=64)
+        out = chunk_wsi_grid(src, tmp_path / "grid", cfg)
+        assert out
+        assert all("_grid_" in p.stem and "_tile_" in p.stem for p in out)
+
+
+class TestECM:
+    def test_pipeline_runs_all_stages(self, rng):
+        img = (rng.rand(128, 128) * 200).astype(np.uint8)
+        cfg = ECMPreprocessConfig(deband_method="fft", illumination_method="gaussian",
+                                  apply_clahe=True, sharpen=True)
+        out = ecm.preprocess_ecm_image(img, cfg)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    def test_directory_driver_with_log(self, tmp_path, rng):
+        (tmp_path / "in").mkdir()
+        for i in range(3):
+            cv2.imwrite(str(tmp_path / "in" / f"c{i}.jpg"),
+                        (rng.rand(64, 64) * 255).astype(np.uint8))
+        log = ecm.process_directory(tmp_path / "in", tmp_path / "out",
+                                    ECMPreprocessConfig(deband_method="column_norm"))
+        assert len(log["processed"]) == 3
+        assert (tmp_path / "out" / "processing_log.json").exists()
+
+
+class TestReconstructParsing:
+    def test_parse_tile_filename(self):
+        sid, r, c = reconstruct.parse_tile_filename(
+            "6 BEEF Shoulder -1_grid_5x5_r1_c2_r0_c1.jpg"
+        )
+        assert sid == "6 BEEF Shoulder -1_grid_5x5_r1_c2"
+        assert (r, c) == (0, 1)
+        with pytest.raises(ValueError):
+            reconstruct.parse_tile_filename("no_position.jpg")
+
+    def test_group_and_coverage(self, tmp_path, rng):
+        for r in range(2):
+            for c in range(2):
+                if (r, c) == (1, 1):
+                    continue  # missing tile
+                cv2.imwrite(str(tmp_path / f"s_r{r}_c{c}.jpg"),
+                            (rng.rand(32, 32) * 255).astype(np.uint8))
+        slides = reconstruct.group_tiles_by_slide(tmp_path)
+        info = slides["s"]
+        cov = reconstruct.coverage(info["positions"], info["row_range"], info["col_range"])
+        assert cov == pytest.approx(3 / 4)
+
+    def test_infer_dimensions(self):
+        h, w = reconstruct.infer_full_image_dimensions({(0, 0), (1, 2)}, 64, 64)
+        assert (h, w) == (128, 192)
+
+    def test_striped_blend_matches_full(self, rng):
+        """Striped (memory-bounded) blending must equal single-canvas blending."""
+        from adipose_tpu.wsi.reconstruct import SlideReconstructor
+
+        tiles = rng.rand(6, 32, 32).astype(np.float32)
+        positions = np.array([[0, 0], [0, 32], [32, 0], [32, 32], [64, 0], [64, 32]],
+                             np.int32)
+        rec_full = SlideReconstructor(lambda p, t: t, None, 32, 32)
+        rec_striped = SlideReconstructor(lambda p, t: t, None, 32, 32, stripe_tiles=1)
+        a = rec_full._blend(tiles, positions, (96, 64))
+        b = rec_striped._blend(tiles, positions, (96, 64))
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-5
+
+
+class TestOverlay:
+    def test_parse_two_level_coords(self):
+        x, y = overlay.parse_two_level_coords("wsi_x2048_y1024_w6144_h6144_r1_c2.jpg", 1024)
+        assert (x, y) == (2048 + 2 * 1024, 1024 + 1 * 1024)
+        x, y = overlay.parse_two_level_coords("plain_r0_c3.jpg", 1024)
+        assert (x, y) == (3072, 0)
+        with pytest.raises(ValueError):
+            overlay.parse_two_level_coords("nope.jpg")
+
+    def test_categorize_and_combine(self):
+        assert overlay.categorize(1, 1) == "TP"
+        assert overlay.categorize(0, 1) == "FP"
+        assert overlay.categorize(1, 0) == "FN"
+        assert overlay.categorize(0, 0) == "TN"
+        cats = {(0, 0): "FN", (1, 0): "TP", (0, 1): "TN", (1, 1): "FP"}
+        combined = overlay.combine_patches(cats, 2)
+        assert combined == {(0, 0): "TP"}  # TP wins the 2×2 block
+
+    def test_render_overlay(self, rng):
+        img = (rng.rand(256, 256) * 255).astype(np.uint8)
+        results = [("s_r0_c0.jpg", 1, 1), ("s_r0_c1.jpg", 0, 1), ("s_r1_c0.jpg", 1, 0)]
+        out = overlay.create_overlay(img, results, tile_size=64, downsample=1)
+        assert out.shape[:2] == (256, 256)
+
+
+class TestCompare:
+    def test_ssim_identical_is_one(self, rng):
+        a = (rng.rand(64, 64) * 255).astype(np.float32)
+        assert float(compare.ssim(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-4)
+
+    def test_ssim_decreases_with_noise(self, rng):
+        a = (rng.rand(64, 64) * 255).astype(np.float32)
+        b = a + rng.randn(64, 64).astype(np.float32) * 50
+        assert float(compare.ssim(jnp.asarray(a), jnp.asarray(b))) < 0.9
+
+    def test_histogram_correlation(self, rng):
+        a = (rng.rand(64, 64) * 255).astype(np.float32)
+        assert float(compare.histogram_correlation(jnp.asarray(a), jnp.asarray(a))) == pytest.approx(1.0, abs=1e-5)
+
+    def test_metrics_resample_mismatched(self, rng):
+        a = (rng.rand(64, 64) * 255).astype(np.uint8)
+        b = cv2.resize(a, (32, 32))
+        m = compare.compute_metrics(a, b)
+        assert set(m) == {"mse", "ssim", "histogram_correlation"}
+
+    def test_stratified_sample(self):
+        out = compare.stratified_sample(list(range(100)), 10)
+        assert len(out) == 10 and out[0] == 0 and out[-1] == 99
+
+    def test_convert_tif_to_jpg(self, tmp_path):
+        img = (np.random.rand(32, 32) * 65535).astype(np.uint16)
+        src = tmp_path / "a.tif"
+        cv2.imwrite(str(src), img)
+        assert compare.convert_tif_to_jpg(src, tmp_path / "a.jpg")
+        out = cv2.imread(str(tmp_path / "a.jpg"))
+        assert out is not None and out.shape == (32, 32, 3)
+
+
+class TestDualModelPipeline:
+    def test_cascade_gates_segmentation(self, rng):
+        """Only classifier-positive tiles reach the segmenter."""
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        seg_calls = []
+
+        def classifier(v, tiles):  # positive iff mean > 128
+            return jnp.mean(tiles, axis=(1, 2)) / 255.0
+
+        def segmenter(p, tiles):
+            seg_calls.append(int(tiles.shape[0]))
+            return jnp.ones_like(tiles) * 0.9
+
+        img = np.full((128, 128), 40, np.uint8)   # dark = negative
+        img[:64, :64] = 200                        # one bright quadrant
+        img += rng.randint(0, 20, img.shape).astype(np.uint8)
+        pipe = DualModelWSIPipeline(
+            classifier, None, segmenter, None,
+            tile_size=64, overlap=0.0, batch_size=4,
+            blur_threshold=0.0,  # synthetic tiles are flat; disable blur gate
+        )
+        result = pipe.run(img)
+        assert result.n_tiles == 4
+        assert result.n_positive == 1
+        # segmented region localized to the bright quadrant
+        assert result.probability_map[:64, :64].mean() > 0.5
+        assert result.probability_map[64:, 64:].mean() < 0.1
+
+    def test_run_file_outputs(self, tmp_path, rng):
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        img = (rng.rand(128, 128) * 255).astype(np.uint8)
+        src = tmp_path / "slide.png"
+        cv2.imwrite(str(src), img)
+        pipe = DualModelWSIPipeline(
+            lambda v, t: jnp.ones(t.shape[0]),
+            None,
+            lambda p, t: jnp.ones_like(t) * 0.7,
+            None,
+            tile_size=64, batch_size=4, blur_threshold=0.0,
+        )
+        result = pipe.run_file(src, tmp_path / "out")
+        assert (tmp_path / "out" / "slide_probability.png").exists()
+        assert (tmp_path / "out" / "slide_mask.png").exists()
+        log = json.loads((tmp_path / "out" / "slide_pipeline_log.json").read_text())
+        assert log["n_tiles"] == 4
