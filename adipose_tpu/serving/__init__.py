@@ -1,0 +1,3 @@
+from adipose_tpu.serving.export import export_model, load_exported
+
+__all__ = ["export_model", "load_exported"]

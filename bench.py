@@ -1,0 +1,72 @@
+"""Benchmark: U-Net tile-segmentation throughput on the available accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the flagship path — 1024² grayscale tiles through the full
+44-filter dilated-bottleneck U-Net (bf16 compute), z-score normalization
+fused in, steady-state, with ``block_until_ready`` timing.
+
+Baseline: the reference (TF2.13, single CUDA GPU) publishes no throughput
+numbers (BASELINE.md) — its eval loop predicts one tile per ``model.predict``
+call (``full_evaluation_enhanced.py:1319-1327``). ``REFERENCE_TILES_PER_SEC``
+below is our documented estimate of that loop on a mid-range GPU
+(single-tile predict calls, no batching): ~5 tiles/s. ``vs_baseline`` is
+measured_throughput / that estimate; it is an estimate, not a measurement of
+the reference (no CUDA GPU exists in this environment to measure it).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TILES_PER_SEC = 5.0  # documented estimate, see module docstring
+
+TILE = 1024
+BATCH = 8
+WARMUP = 2
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adipose_tpu.core.seeding import key_for
+    from adipose_tpu.models.unet import DilatedUNet
+
+    model = DilatedUNet(init_nb=44, compute_dtype=jnp.bfloat16)
+    params = model.init(key_for("bench.init"), jnp.zeros((1, TILE, TILE)))
+
+    mean, std = jnp.float32(200.99), jnp.float32(25.26)
+
+    @jax.jit
+    def predict(params, tiles_u8):
+        x = (tiles_u8.astype(jnp.float32) - mean) / (std + 1e-10)
+        return model.apply(params, x, train=False)
+
+    rng = np.random.RandomState(865)
+    tiles = jnp.asarray((rng.rand(BATCH, TILE, TILE) * 255).astype(np.uint8))
+
+    for _ in range(WARMUP):
+        predict(params, tiles).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = predict(params, tiles)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    tiles_per_sec = BATCH * ITERS / elapsed
+    print(json.dumps({
+        "metric": f"unet_{TILE}px_tiles_per_sec",
+        "value": round(tiles_per_sec, 3),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
