@@ -253,6 +253,18 @@ def build_parser() -> argparse.ArgumentParser:
     tj.add_argument("--output-dir", required=True)
     tj.add_argument("--quality", type=int, default=95)
 
+    ss = sub.add_parser("select-stain-reference",
+                        help="rank candidate tiles, write stain metadata")
+    ss.add_argument("--candidate-dir", required=True)
+    ss.add_argument("--output-dir", required=True)
+    ss.add_argument("--max-candidates", type=int, default=350)
+
+    sv = sub.add_parser("validate-stain", help="cross-validate a stain reference")
+    sv.add_argument("--metadata", required=True)
+    sv.add_argument("--sample-dir", required=True)
+    sv.add_argument("--output-dir", required=True)
+    sv.add_argument("--n-samples", type=int, default=20)
+
     ex = sub.add_parser("export", help="export a model for serving (StableHLO)")
     ex.add_argument("--weights", required=True)
     ex.add_argument("--model", choices=["unet", "classifier"], default="unet")
@@ -685,6 +697,22 @@ def cmd_tif2jpg(args):
     print(f"converted {n} images")
 
 
+def cmd_select_stain_reference(args):
+    from adipose_tpu.data.stain_select import select_stain_reference
+
+    meta = select_stain_reference(args.candidate_dir, args.output_dir,
+                                  args.max_candidates)
+    print(json.dumps(meta["selected_reference"], indent=2))
+
+
+def cmd_validate_stain(args):
+    from adipose_tpu.data.stain_select import validate_stain_reference
+
+    summary = validate_stain_reference(args.metadata, args.sample_dir,
+                                       args.output_dir, args.n_samples)
+    print(f"valid {summary['n_valid']}/{summary['n_samples']}")
+
+
 def cmd_export(args):
     from adipose_tpu.serving.export import export_model
 
@@ -743,6 +771,8 @@ COMMANDS = {
     "scale-ecm": cmd_scale_ecm,
     "compare-modalities": cmd_compare_modalities,
     "tif2jpg": cmd_tif2jpg,
+    "select-stain-reference": cmd_select_stain_reference,
+    "validate-stain": cmd_validate_stain,
     "export": cmd_export,
     "import-weights": cmd_import_weights,
     "bench": cmd_bench,

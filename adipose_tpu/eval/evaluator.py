@@ -201,6 +201,8 @@ class PublicationEvaluator:
         dataset_name: str = "test",
         output_dir: str | Path | None = None,
         optimize_threshold: bool | None = None,
+        save_visualizations: bool = False,
+        n_vis_samples: int = 20,
     ) -> dict:
         cfg = self.cfg
         np.random.seed(cfg.eval_seed)  # set_deterministic_seeds(1337) analog
@@ -275,6 +277,17 @@ class PublicationEvaluator:
             "config": asdict(cfg),
         }
         self._write_artifacts(out, dataset_name, results, tile_rows)
+
+        if save_visualizations:
+            from adipose_tpu.eval.visualize import save_bucketed_visualizations
+
+            dices = [r["dice_score"] for r in tile_rows]
+            counts = save_bucketed_visualizations(
+                images[:n_vis_samples], preds[:n_vis_samples],
+                trues[:n_vis_samples], dices[:n_vis_samples],
+                tile_paths[:n_vis_samples], out / "visualizations", threshold,
+            )
+            results["visualization_buckets"] = counts
         return results
 
     def _write_artifacts(self, out: Path, dataset_name: str, results: dict, tile_rows):
