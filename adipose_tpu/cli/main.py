@@ -253,6 +253,15 @@ def build_parser() -> argparse.ArgumentParser:
     tj.add_argument("--output-dir", required=True)
     tj.add_argument("--quality", type=int, default=95)
 
+    an = sub.add_parser("analyze-tiles", help="tile-quality census + "
+                        "preprocessing-variant comparison")
+    an.add_argument("--tiles-dir", required=True)
+    an.add_argument("--output-dir", required=True)
+    an.add_argument("--census", action="store_true")
+    an.add_argument("--compare-preprocessing", action="store_true")
+    an.add_argument("--n-samples", type=int, default=10)
+    an.add_argument("--max-tiles", type=int, default=None)
+
     ss = sub.add_parser("select-stain-reference",
                         help="rank candidate tiles, write stain metadata")
     ss.add_argument("--candidate-dir", required=True)
@@ -697,6 +706,21 @@ def cmd_tif2jpg(args):
     print(f"converted {n} images")
 
 
+def cmd_analyze_tiles(args):
+    from adipose_tpu.data.analysis import preprocessing_comparison, tile_quality_census
+
+    if not args.census and not args.compare_preprocessing:
+        args.census = True
+    if args.census:
+        summary = tile_quality_census(args.tiles_dir, args.output_dir,
+                                      max_tiles=args.max_tiles)
+        print(json.dumps(summary, indent=2))
+    if args.compare_preprocessing:
+        preprocessing_comparison(args.tiles_dir, args.output_dir,
+                                 n_samples=args.n_samples)
+        print(f"wrote preprocessing comparison to {args.output_dir}")
+
+
 def cmd_select_stain_reference(args):
     from adipose_tpu.data.stain_select import select_stain_reference
 
@@ -771,6 +795,7 @@ COMMANDS = {
     "scale-ecm": cmd_scale_ecm,
     "compare-modalities": cmd_compare_modalities,
     "tif2jpg": cmd_tif2jpg,
+    "analyze-tiles": cmd_analyze_tiles,
     "select-stain-reference": cmd_select_stain_reference,
     "validate-stain": cmd_validate_stain,
     "export": cmd_export,

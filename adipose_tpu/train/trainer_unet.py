@@ -275,5 +275,11 @@ class UNetTrainer:
             augment_tier=tier,
         )
         ckpt.save_params(self.ckpt_dir, "weights_best_overall", best2)
+        try:
+            from adipose_tpu.train.plots import plot_training_history
+
+            plot_training_history(self.ckpt_dir)
+        except Exception:
+            pass  # plotting is best-effort; never fail a finished run
         return {"phase1_best_dice": dice1, "phase2_best_dice": dice2,
                 "checkpoint_dir": str(self.ckpt_dir)}
