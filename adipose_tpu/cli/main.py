@@ -98,6 +98,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="moderate")
     t.add_argument("--normalization-method", choices=["zscore", "percentile"],
                    default="zscore")
+    t.add_argument("--resume-from", default=None)
     t.add_argument("--checkpoint-name", default="adipose_sybreosin")
     t.add_argument("--checkpoint-root", default="checkpoints/segmentation")
     t.add_argument("--num-devices", type=int, default=0)
@@ -200,6 +201,17 @@ def build_parser() -> argparse.ArgumentParser:
     ov.add_argument("--tile-size", type=int, default=1024)
     ov.add_argument("--combine", type=int, default=1)
     ov.add_argument("--threshold", type=float, default=0.5)
+
+    rp = sub.add_parser("run-pipeline",
+                        help="build → train → val-eval → test-eval "
+                             "(run_complete_pipeline.sh analog)")
+    rp.add_argument("--data-root", required=True)
+    rp.add_argument("--epochs-phase1", type=int, default=50)
+    rp.add_argument("--epochs-phase2", type=int, default=100)
+    rp.add_argument("--batch-size", type=int, default=2)
+    rp.add_argument("--skip-build", action="store_true")
+    rp.add_argument("--use-tta", action="store_true")
+    rp.add_argument("--min-train-tiles", type=int, default=10)
 
     pl = sub.add_parser("pipeline", help="end-to-end dual-model WSI pipeline")
     pl.add_argument("--wsi", required=True)
@@ -356,7 +368,7 @@ def cmd_train_unet(args):
     trainer = UNetTrainer(data_root, cfg, mcfg,
                           checkpoint_name=args.checkpoint_name,
                           checkpoint_root=args.checkpoint_root)
-    result = trainer.train()
+    result = trainer.train(resume_from=args.resume_from)
     print(json.dumps(result, indent=2))
 
 
@@ -640,6 +652,68 @@ def cmd_pipeline(args):
                       "timings": result.timings}, indent=2))
 
 
+def cmd_run_pipeline(args):
+    """Phase orchestration with dataset validation + timing summary
+    (``Segmentation/run_complete_pipeline.sh`` phases :195-516) — one process,
+    no conda/subprocess relaunching."""
+    import time
+
+    from adipose_tpu.core.config import DataBuildConfig, EvalConfig, TrainConfig
+    from adipose_tpu.data.tiling import SegmentationDatasetBuilder, find_most_recent_build_dir
+    from adipose_tpu.eval.evaluator import PublicationEvaluator
+    from adipose_tpu.train.trainer_unet import UNetTrainer
+
+    timings = {}
+    data_root = Path(args.data_root)
+
+    if args.skip_build:
+        build_root = (
+            data_root if (data_root / "dataset").exists()
+            else find_most_recent_build_dir(data_root)
+        )
+    else:
+        t0 = time.time()
+        build_root = SegmentationDatasetBuilder(
+            DataBuildConfig(), out_parent=data_root
+        ).build(data_root)
+        timings["build_s"] = time.time() - t0
+
+    # dataset validation (run_complete_pipeline.sh:111-167)
+    n_train = len(list((build_root / "dataset" / "train" / "images").glob("*.jpg")))
+    if n_train < args.min_train_tiles:
+        raise SystemExit(
+            f"dataset validation failed: {n_train} train tiles < {args.min_train_tiles}"
+        )
+
+    t0 = time.time()
+    trainer = UNetTrainer(build_root, TrainConfig(batch_size=args.batch_size))
+    train_result = trainer.train(args.epochs_phase1, args.epochs_phase2)
+    timings["train_s"] = time.time() - t0
+    ckpt_dir = train_result["checkpoint_dir"]
+
+    cfg = EvalConfig(use_tta=args.use_tta, optimize_threshold=True)
+    t0 = time.time()
+    ev = PublicationEvaluator(ckpt_dir, cfg)
+    val_results = ev.evaluate(build_root / "dataset" / "val", "val")
+    timings["val_eval_s"] = time.time() - t0
+
+    t0 = time.time()
+    test_cfg = EvalConfig(use_tta=args.use_tta, optimize_threshold=False,
+                          threshold=val_results["optimal_threshold"])
+    test_results = PublicationEvaluator(ckpt_dir, test_cfg).evaluate(
+        build_root / "dataset" / "test", "test"
+    )
+    timings["test_eval_s"] = time.time() - t0
+
+    print(json.dumps({
+        "checkpoint_dir": ckpt_dir,
+        "val_dice": val_results["metrics"]["dice_score"]["mean"],
+        "test_dice": test_results["metrics"]["dice_score"]["mean"],
+        "optimal_threshold": val_results["optimal_threshold"],
+        "timings": timings,
+    }, indent=2))
+
+
 def cmd_chunk_wsi(args):
     from adipose_tpu.core.config import WSIChunkConfig
     from adipose_tpu.wsi.chunker import chunk_wsi_adaptive, chunk_wsi_grid
@@ -790,6 +864,7 @@ COMMANDS = {
     "reconstruct": cmd_reconstruct,
     "classification-overlay": cmd_classification_overlay,
     "pipeline": cmd_pipeline,
+    "run-pipeline": cmd_run_pipeline,
     "chunk-wsi": cmd_chunk_wsi,
     "preprocess-ecm": cmd_preprocess_ecm,
     "scale-ecm": cmd_scale_ecm,

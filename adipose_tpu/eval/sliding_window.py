@@ -38,11 +38,21 @@ class SlidingWindowInference:
         blend_mode: str = "gaussian",
         batch_size: int = 8,
         sigma_factor: float = 0.25,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — when given, each predict
+        batch is sharded over the mesh's 'data' axis, so one WSI's tile stream
+        spreads across all chips (the spatial analog of context parallelism:
+        data-parallel over space, halo-free because tiles overlap —
+        SURVEY.md §5 long-context)."""
         self.tile_size = tile_size
         self.overlap = max(0.0, min(overlap, 0.75))
         self.stride = int(tile_size * (1 - self.overlap))
         self.blend_mode = blend_mode
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape.get("data", 1)
+            batch_size = max(batch_size, n) // n * n  # divisible by data axis
         self.batch_size = batch_size
         if blend_mode == "gaussian":
             self.weight_map = gaussian_weight_map(tile_size, sigma_factor)
@@ -75,6 +85,10 @@ class SlidingWindowInference:
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], b - n, axis=0)], axis=0
                 )
+            if self.mesh is not None:
+                from adipose_tpu.parallel.mesh import data_sharding
+
+                chunk = jax.device_put(chunk, data_sharding(self.mesh, 3))
             preds.append(predict_fn(params, chunk)[:n])
         preds = jnp.concatenate(preds, axis=0)
 

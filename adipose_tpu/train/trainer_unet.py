@@ -245,10 +245,18 @@ class UNetTrainer:
             ckpt.save_params(self.ckpt_dir, "weights_ema", jax.device_get(ema.snapshot))
         return best_params, best_dice
 
-    def train(self, epochs_phase1: int | None = None, epochs_phase2: int | None = None):
+    def train(self, epochs_phase1: int | None = None, epochs_phase2: int | None = None,
+              resume_from: str | Path | None = None):
+        """``resume_from``: checkpoint dir or params dir — phase 1 is skipped
+        and phase 2 fine-tunes from those weights (the reference's
+        ``--resume-from`` flow, ``train_adipose_unet_v3.py:1336-1339``);
+        pretrained weights can also come from the TF importer."""
         cfg = self.cfg
         tier = cfg.augment_level
         params = self.init_params()
+        if resume_from is not None:
+            loaded = ckpt.load_params(ckpt.resolve_weights_path(resume_from))
+            params = jax.tree.map(jnp.asarray, loaded)
 
         ckpt.write_training_settings(self.ckpt_dir, {
             **{k: v for k, v in vars(cfg).items()},
@@ -264,11 +272,14 @@ class UNetTrainer:
         e1 = cfg.epochs_phase1 if epochs_phase1 is None else epochs_phase1
         e2 = cfg.epochs_phase2 if epochs_phase2 is None else epochs_phase2
 
-        best1, dice1 = self._run_phase(
-            1, params, e1, cfg.lr_phase1, cfg.min_lr,
-            cfg.ema_decay_phase1, freeze_encoder=True, save_ema=False,
-            augment_tier=tier,
-        )
+        if resume_from is not None:
+            best1, dice1 = params, float("nan")
+        else:
+            best1, dice1 = self._run_phase(
+                1, params, e1, cfg.lr_phase1, cfg.min_lr,
+                cfg.ema_decay_phase1, freeze_encoder=True, save_ema=False,
+                augment_tier=tier,
+            )
         best2, dice2 = self._run_phase(
             2, best1, e2, cfg.lr_phase2, cfg.min_lr * 0.1,
             cfg.ema_decay_phase2, freeze_encoder=False, save_ema=True,

@@ -82,6 +82,25 @@ class TestUNet:
         want = np.array([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]], np.float32)
         assert np.array_equal(up, want)
 
+    def test_fused_upconv_equals_upsample_then_conv(self, rng):
+        """The fused lhs-dilated decoder conv must exactly equal
+        nearest-×2 upsample followed by a SAME 3×3 conv (f32)."""
+        from adipose_tpu.models.unet import FusedUpsampleConv
+
+        x = jnp.asarray(rng.randn(2, 16, 16, 6).astype(np.float32))
+        mod = FusedUpsampleConv(4, jnp.float32)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        got = mod.apply(params, x)
+        kernel = params["params"]["kernel"]
+        bias = params["params"]["bias"]
+        up = upsample_nearest_2x(x)
+        want = jax.lax.conv_general_dilated(
+            up, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        assert got.shape == want.shape == (2, 32, 32, 4)
+        assert float(jnp.abs(got - want).max()) < 1e-4
+
     def test_dropout_inactive_in_eval(self, model_and_params, rng):
         model, params = model_and_params
         x = jnp.asarray(rng.randn(1, SIZE, SIZE).astype(np.float32))
