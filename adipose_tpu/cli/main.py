@@ -135,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--ema", action="store_true")
     e.add_argument("--n-bootstrap", type=int, default=10000)
     e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--save-visualizations", action="store_true")
+    e.add_argument("--n-vis-samples", type=int, default=20)
+    e.add_argument("--profile-dir", default=None)
 
     ec = sub.add_parser("evaluate-checkpoints", help="batch-evaluate all checkpoints")
     ec.add_argument("--checkpoints-root", default="checkpoints/segmentation")
@@ -407,11 +410,15 @@ def _eval_config(args):
 
 
 def cmd_evaluate(args):
+    from adipose_tpu.core.profiling import trace
     from adipose_tpu.eval.evaluator import PublicationEvaluator
 
     ev = PublicationEvaluator(args.weights, _eval_config(args))
-    results = ev.evaluate(args.test_dataset, Path(args.test_dataset).name,
-                          output_dir=args.output)
+    with trace(args.profile_dir):
+        results = ev.evaluate(args.test_dataset, Path(args.test_dataset).name,
+                              output_dir=args.output,
+                              save_visualizations=args.save_visualizations,
+                              n_vis_samples=args.n_vis_samples)
     print(json.dumps({k: results[k] for k in
                       ("n_slides", "n_tiles", "optimal_threshold")}, indent=2))
     for k, v in results["metrics"].items():

@@ -109,7 +109,9 @@ class UNetTrainer:
         checkpoint_name: str = "adipose_sybreosin",
         build_timestamp: str | None = None,
         checkpoint_root: str | Path = "checkpoints/segmentation",
+        auto_resume: bool = False,
     ):
+        self.auto_resume = auto_resume
         self.cfg = cfg or TrainConfig()
         self.model_cfg = model_cfg or UNetConfig()
         self.data_root = Path(data_root)
@@ -202,7 +204,23 @@ class UNetTrainer:
         best_dice = -np.inf
         best_params = state.params
 
-        for epoch in range(epochs):
+        # Preemption recovery: resume mid-phase from the rolling 'latest'
+        # checkpoint (orbax params + progress metadata). The reference has no
+        # preemption story (SURVEY.md §5 failure detection).
+        start_epoch = 0
+        latest_meta = self.ckpt_dir / "latest_state.json"
+        if self.auto_resume and latest_meta.exists():
+            import json as _json
+
+            meta = _json.loads(latest_meta.read_text())
+            if meta.get("phase") == phase and (self.ckpt_dir / "latest").exists():
+                restored = ckpt.load_params(self.ckpt_dir / "latest")
+                state = state.replace(params=jax.tree.map(jnp.asarray, restored))
+                start_epoch = int(meta["epoch"]) + 1
+                best_dice = float(meta.get("best_dice", -np.inf))
+                print(f"[resume] phase {phase} from epoch {start_epoch}")
+
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             if schedule:
                 state = state.replace(
@@ -238,6 +256,13 @@ class UNetTrainer:
             if plateau is not None:
                 new_lr = plateau.update(val_dice)
                 state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+            if self.auto_resume:
+                import json as _json
+
+                ckpt.save_params(self.ckpt_dir, "latest", jax.device_get(state.params))
+                (self.ckpt_dir / "latest_state.json").write_text(_json.dumps({
+                    "phase": phase, "epoch": epoch, "best_dice": float(best_dice),
+                }))
             if stopper.update(val_dice, epoch):
                 break
 

@@ -1,0 +1,63 @@
+"""Auto-resume (preemption recovery) + profiling utilities."""
+
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from adipose_tpu.core.profiling import Throughput, trace
+
+
+def test_throughput_counter():
+    t = Throughput("tiles")
+    t.add(10)
+    t.add(5)
+    assert t.count == 15
+    assert t.per_sec > 0
+    assert "15 tiles" in t.report()
+
+
+def test_trace_noop_without_dir():
+    with trace(None):
+        pass  # must not start the profiler
+
+
+def _tiny_dataset(tmp_path, rng):
+    for split, n in (("train", 4), ("val", 2)):
+        (tmp_path / "dataset" / split / "images").mkdir(parents=True)
+        (tmp_path / "dataset" / split / "masks").mkdir(parents=True)
+        for i in range(n):
+            cv2.imwrite(str(tmp_path / "dataset" / split / "images" / f"s_r{i}_c0.jpg"),
+                        (rng.rand(32, 32) * 255).astype(np.uint8))
+            cv2.imwrite(str(tmp_path / "dataset" / split / "masks" / f"s_r{i}_c0.tif"),
+                        ((rng.rand(32, 32) > 0.5) * 255).astype(np.uint8))
+
+
+def test_auto_resume_continues_phase(tmp_path, rng):
+    from adipose_tpu.core.config import TrainConfig, UNetConfig
+    from adipose_tpu.train.trainer_unet import UNetTrainer
+
+    _tiny_dataset(tmp_path, rng)
+    cfg = TrainConfig(batch_size=4, augment_level="light")
+    mcfg = UNetConfig(tile_size=32, init_nb=4, compute_dtype="float32")
+    tr = UNetTrainer(tmp_path, cfg, mcfg, checkpoint_root=tmp_path / "c",
+                     build_timestamp="20260101_000000", auto_resume=True)
+    tr.train(epochs_phase1=2, epochs_phase2=2)
+    run = next((tmp_path / "c").iterdir())
+    meta = json.loads((run / "latest_state.json").read_text())
+    assert meta["phase"] == 2 and meta["epoch"] == 1
+    assert (run / "latest").is_dir()
+
+    # simulate preemption mid-phase-2: rewind metadata to epoch 0 and rerun —
+    # the resumed run must start phase 2 at epoch 1 (skip epoch 0)
+    (run / "latest_state.json").write_text(json.dumps({
+        "phase": 2, "epoch": 0, "best_dice": 0.0,
+    }))
+    tr2 = UNetTrainer(tmp_path, cfg, mcfg, checkpoint_root=tmp_path / "c",
+                      build_timestamp="20260101_000000", auto_resume=True)
+    # phase 1 runs fresh (its latest meta points at phase 2), phase 2 resumes
+    result = tr2.train(epochs_phase1=1, epochs_phase2=3)
+    meta = json.loads((run / "latest_state.json").read_text())
+    assert meta["phase"] == 2 and meta["epoch"] == 2
+    assert result["phase2_best_dice"] >= 0.0
