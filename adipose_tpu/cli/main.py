@@ -170,7 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     # -- inference ------------------------------------------------------------
     s = sub.add_parser("segment", help="folder inference: masks + prob maps")
-    s.add_argument("--weights", required=True)
+    s.add_argument("--weights", default=None)
+    s.add_argument("--bundle", default=None,
+                   help="StableHLO export bundle (serving backend, the ONNX-"
+                        "runtime-predictor analog); overrides --weights")
     s.add_argument("--input-dir", required=True)
     s.add_argument("--output-dir", required=True)
     s.add_argument("--use-tta", action="store_true")
@@ -497,7 +500,15 @@ def cmd_segment(args):
     from adipose_tpu.eval.evaluator import read_image_gray
     from adipose_tpu.eval.tta import make_tta_predict
 
-    predict, params, _, _ = _load_segmenter(args.weights)
+    if args.bundle:
+        from adipose_tpu.serving.export import load_exported
+
+        call, params, _manifest = load_exported(args.bundle)
+        predict = lambda p, tiles: call(p, tiles)  # normalization baked in
+    elif args.weights:
+        predict, params, _, _ = _load_segmenter(args.weights)
+    else:
+        raise SystemExit("segment requires --weights or --bundle")
     if args.use_tta:
         predict = make_tta_predict(predict, args.tta_mode)
     in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)

@@ -158,6 +158,9 @@ class DilatedUNet(nn.Module):
         # Decoder
         def up_stage(feat, skip, y, names):
             y = nn.relu(FusedUpsampleConv(feat, dt, name=names[0])(y))
+            # NOTE: computing this as two split convs (avoiding the concat
+            # materialization) was measured SLOWER on v5e (75.2 vs 80.0
+            # tiles/s) — XLA fuses concat+conv better than two MXU passes.
             y = jnp.concatenate([skip, y], axis=-1)
             y = nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[1])(y))
             y = nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[2])(y))
@@ -171,23 +174,18 @@ class DilatedUNet(nn.Module):
         up1 = up_stage(self.init_nb, down1, up2,
                        ("up1_conv1", "up1_conv2", "up1_conv3"))
 
-        # Main head: 2-class softmax, class-1 slice (f32 for numerics)
-        logits = nn.Conv(2, (1, 1), dtype=jnp.float32, name="output_softmax")(
-            up1.astype(jnp.float32)
-        )
-        main = jax.nn.softmax(logits, axis=-1)[..., 1]
+        # Main head: 1×1 conv in bf16 (avoids materializing the full-res
+        # 44-channel tensor in f32), softmax in f32 for numerics.
+        logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
+        main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
         if not self.use_deep_supervision:
             return main
 
-        aux1 = nn.Conv(1, (1, 1), dtype=jnp.float32, name="aux_out1")(
-            up3.astype(jnp.float32)
-        )
-        aux1 = resize_bilinear(jax.nn.sigmoid(aux1), (h, w))[..., 0]
-        aux2 = nn.Conv(1, (1, 1), dtype=jnp.float32, name="aux_out2")(
-            up2.astype(jnp.float32)
-        )
-        aux2 = resize_bilinear(jax.nn.sigmoid(aux2), (h, w))[..., 0]
+        aux1 = nn.Conv(1, (1, 1), dtype=dt, name="aux_out1")(up3)
+        aux1 = resize_bilinear(jax.nn.sigmoid(aux1.astype(jnp.float32)), (h, w))[..., 0]
+        aux2 = nn.Conv(1, (1, 1), dtype=dt, name="aux_out2")(up2)
+        aux2 = resize_bilinear(jax.nn.sigmoid(aux2.astype(jnp.float32)), (h, w))[..., 0]
         return {"main_out": main, "aux_out1": aux1, "aux_out2": aux2}
 
 
