@@ -48,15 +48,20 @@ def main() -> None:
         return model.apply(params, x, train=False)
 
     rng = np.random.RandomState(865)
-    tiles = jnp.asarray((rng.rand(BATCH, TILE, TILE) * 255).astype(np.uint8))
+    # rotate distinct batches: repeated identical inputs can be result-cached
+    # by the runtime and report impossible throughput
+    batches = [
+        jnp.asarray((rng.rand(BATCH, TILE, TILE) * 255).astype(np.uint8))
+        for _ in range(3)
+    ]
 
-    for _ in range(WARMUP):
-        predict(params, tiles).block_until_ready()
+    for b in batches[:WARMUP]:
+        predict(params, b).block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = predict(params, tiles)
-    out.block_until_ready()
+    outs = [predict(params, batches[i % 3]) for i in range(ITERS)]
+    for out in outs:
+        out.block_until_ready()
     elapsed = time.perf_counter() - t0
 
     tiles_per_sec = BATCH * ITERS / elapsed

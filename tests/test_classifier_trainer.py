@@ -1,0 +1,50 @@
+"""End-to-end two-phase classifier training smoke test (tiny data, CPU mesh)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from adipose_tpu.core.config import ClassifierConfig, TrainConfig
+
+
+@pytest.fixture
+def class_dataset(tmp_path, rng):
+    """Separable tiny dataset: adipose tiles bright, negatives dark."""
+    for split, n in (("train", 8), ("val", 4)):
+        for cls, base in (("adipose", 200), ("not_adipose", 60)):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(n // 2):
+                img = np.full((64, 64), base, np.uint8)
+                img = np.clip(
+                    img.astype(int) + rng.randint(-20, 20, (64, 64)), 0, 255
+                ).astype(np.uint8)
+                cv2.imwrite(str(d / f"s{i % 2}_r{i}_c0.jpg"), img)
+    return tmp_path
+
+
+def test_two_phase_classifier_training(class_dataset):
+    from adipose_tpu.train.trainer_classifier import ClassifierTrainer
+
+    cfg = TrainConfig(batch_size=4)
+    trainer = ClassifierTrainer(
+        class_dataset, cfg, ClassifierConfig(compute_dtype="float32"),
+        percentile_norm=False,  # brightness IS the signal; keep it
+        use_class_weights=True,
+        checkpoint_root=class_dataset / "runs",
+    )
+    result = trainer.train(warmup_epochs=4, finetune_epochs=2)
+    run_dir = next((class_dataset / "runs").iterdir())
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "training.log").exists()
+    assert (run_dir / "weights_best").is_dir()
+    assert (run_dir / "weights_final").is_dir()
+    # with 8 train tiles / 4 val tiles the AUC is too coarse to bound tightly;
+    # assert the mechanics: finite AUC recorded, and train loss decreased
+    assert 0.0 <= result["phase2_val_auc"] <= 1.0
+    import pandas as pd
+
+    log = pd.read_csv(run_dir / "training.log")
+    assert log["loss"].iloc[-1] < log["loss"].iloc[0]
+    # class weights were computed at slide level
+    assert set(trainer.class_weights) == {0, 1}
