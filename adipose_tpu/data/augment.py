@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from adipose_tpu.ops.d4 import apply_transform
 
@@ -33,11 +34,6 @@ from adipose_tpu.ops.d4 import apply_transform
 # ---- Geometric primitives ---------------------------------------------------
 
 
-def _resample(img: jax.Array, coords_y: jax.Array, coords_x: jax.Array,
-              order: int, fill_mode: str) -> jax.Array:
-    """Bilinear/nearest sample of img at (coords_y, coords_x)."""
-    coords = jnp.stack([coords_y, coords_x])
-    return jax.scipy.ndimage.map_coordinates(img, coords, order=order, mode=fill_mode)
 
 
 def random_rotation_90(key, image, mask):
@@ -114,42 +110,121 @@ def random_gaussian_noise(key, image, std_range=(0.0, 10.0), prob=0.3):
     return jnp.where(apply, jnp.clip(image + noise, 0.0, 255.0), image)
 
 
+def _reflect_coords(src: jax.Array, n: int) -> jax.Array:
+    """Reflect out-of-range sample coordinates into [0, n−1] (mirror mode)."""
+    period = 2.0 * (n - 1)
+    s = jnp.mod(src, period)
+    return jnp.where(s > (n - 1), period - s, s)
+
+
+def _axis_weights(src: jax.Array, n: int, order: int) -> jax.Array:
+    """(n_out, n) interpolation matrix: row i holds the weights over source
+    positions for output coordinate src[i]. order 1 = tent (bilinear),
+    order 0 = nearest one-hot."""
+    j = jnp.arange(n, dtype=jnp.float32)[None, :]
+    d = jnp.abs(src[:, None] - j)
+    if order == 0:
+        return (d <= 0.5).astype(jnp.float32) * (
+            jnp.cumsum((d <= 0.5).astype(jnp.float32), axis=1) <= 1.0
+        )
+    return jnp.maximum(0.0, 1.0 - d)
+
+
 def random_scale(key, image, mask, scale_range=(0.85, 1.15), prob=0.5):
     """Center zoom in/out with same-size output (``data.py:72-106``).
 
-    Implemented as one bilinear resample of the source at scaled coordinates:
-    zoom-in crops the center, zoom-out pads (reflect for image, zeros for
-    mask) — equivalent to the reference's resize+crop / resize+pad.
+    TPU-native: an axis-aligned zoom is a SEPARABLE resample, so it runs as
+    two dense matmuls on the MXU — ``W_y @ X @ W_xᵀ`` with banded tent
+    matrices — instead of a 1M-pixel gather (``map_coordinates`` gathers
+    measured ~80 ms/tile on v5e; the matmul form is ~4.3 GFLOP ≈ sub-ms).
+    Zoom-out reflects the image at borders and zero-fills the mask, matching
+    the reference's reflect-pad / constant-pad behavior.
     """
     k1, k2 = jax.random.split(key)
     apply = jax.random.uniform(k1) <= prob
     scale = jax.random.uniform(k2, (), minval=scale_range[0], maxval=scale_range[1])
     h, w = image.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy = (jnp.arange(h, dtype=jnp.float32)[:, None] - cy) / scale + cy
-    xx = (jnp.arange(w, dtype=jnp.float32)[None, :] - cx) / scale + cx
-    yy = jnp.broadcast_to(yy, (h, w))
-    xx = jnp.broadcast_to(xx, (h, w))
-    img_s = _resample(image, yy, xx, order=1, fill_mode="reflect")
-    mask_s = _resample(mask, yy, xx, order=0, fill_mode="constant")
+    src_y = (jnp.arange(h, dtype=jnp.float32) - cy) / scale + cy
+    src_x = (jnp.arange(w, dtype=jnp.float32) - cx) / scale + cx
+
+    in_y = (src_y >= 0) & (src_y <= h - 1)
+    in_x = (src_x >= 0) & (src_x <= w - 1)
+    ry = _reflect_coords(src_y, h)
+    rx = _reflect_coords(src_x, w)
+
+    wy_img = _axis_weights(ry, h, order=1)
+    wx_img = _axis_weights(rx, w, order=1)
+    img_s = wy_img @ image @ wx_img.T
+
+    wy_m = _axis_weights(src_y, h, order=0) * in_y[:, None]
+    wx_m = _axis_weights(src_x, w, order=0) * in_x[:, None]
+    mask_s = wy_m @ mask @ wx_m.T
+
     return (
         jnp.where(apply, img_s, image),
         jnp.where(apply, mask_s, mask),
     )
 
 
+def _shift_axis(img: jax.Array, s: int, axis: int) -> jax.Array:
+    """img shifted by s along axis with edge padding (static s ⇒ static slice)."""
+    n = img.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (max(0, -s), max(0, s))
+    padded = jnp.pad(img, pad, mode="edge")
+    # after left-padding by max(0,−s), source position p+s sits at offset
+    # max(0,−s)+s = max(0, s) into the padded array
+    s_off = max(0, s)
+    idx = [slice(None), slice(None)]
+    idx[axis] = slice(s_off, s_off + n)
+    return padded[tuple(idx)]
+
+
+def _warp_axis(img: jax.Array, delta: jax.Array, axis: int, order: int,
+               max_shift: int) -> jax.Array:
+    """1-D warp along ``axis`` by a BOUNDED per-pixel displacement.
+
+    TPU-native: instead of a gather (``map_coordinates``/``take_along_axis``
+    both measured ~80-100 ms/tile on v5e), decompose the warp into a weighted
+    sum over 2·max_shift+1 statically-shifted copies — pure VPU selects that
+    XLA fuses into one pass: out = Σ_s w_s(p)·img(p+s) with
+    w_s = [⌊δ⌋=s](1−frac) + [⌊δ⌋=s−1]·frac (bilinear) or [round(δ)=s]
+    (nearest). Exact for |δ| ≤ max_shift.
+    """
+    if order == 0:
+        k = jnp.round(delta)
+        out = jnp.zeros_like(img)
+        for s in range(-max_shift, max_shift + 1):
+            out = out + (k == s).astype(img.dtype) * _shift_axis(img, s, axis)
+        return out
+    k0 = jnp.floor(delta)
+    f = (delta - k0).astype(img.dtype)
+    out = jnp.zeros_like(img)
+    for s in range(-max_shift, max_shift + 2):
+        w = (k0 == s).astype(img.dtype) * (1.0 - f) + (k0 == s - 1).astype(img.dtype) * f
+        out = out + w * _shift_axis(img, s, axis)
+    return out
+
+
 def elastic_transform(key, image, mask, alpha=10.0, sigma=3.0):
     """Smooth random warp (``data.py:109-143``): blurred uniform displacement
-    fields scaled by alpha; bilinear for image (reflect), nearest for mask
-    (zero fill)."""
+    fields scaled by alpha; bilinear for image, nearest for mask.
+
+    TPU-native deviation (documented in PARITY.md): the joint 2-D remap is
+    computed as TWO sequential axis-aligned warps (vertical by dy, then
+    horizontal by dx). For the smooth, small displacements used here
+    (|d| ≤ alpha, field blurred at σ) the difference from the joint remap is
+    O(dx·dy·∂²img) — visually indistinguishable — while each pass is an
+    axis-aligned gather the TPU executes efficiently.
+    """
     k1, k2 = jax.random.split(key)
     h, w = image.shape
     dx = _blur_fixed(jax.random.uniform(k1, (h, w)) * 2.0 - 1.0, sigma) * alpha
     dy = _blur_fixed(jax.random.uniform(k2, (h, w)) * 2.0 - 1.0, sigma) * alpha
-    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w)) + dy
-    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w)) + dx
-    img_d = _resample(image, yy, xx, order=1, fill_mode="reflect")
-    mask_d = _resample(mask, yy, xx, order=0, fill_mode="constant")
+    max_shift = int(np.ceil(float(alpha)))  # |blurred U(-1,1)·α| ≤ α
+    img_d = _warp_axis(_warp_axis(image, dy, 0, 1, max_shift), dx, 1, 1, max_shift)
+    mask_d = _warp_axis(_warp_axis(mask, dy, 0, 0, max_shift), dx, 1, 0, max_shift)
     return img_d, mask_d
 
 

@@ -83,6 +83,54 @@ class TestAugment:
         di, dm = augment.elastic_transform(jax.random.PRNGKey(0), img, mask)
         assert abs(float(jnp.mean(di)) - float(jnp.mean(img))) < 10.0
 
+    def test_warp_axis_matches_gather_oracle(self, rng):
+        """The static-shift warp must equal a take_along_axis bilinear warp."""
+        img = jnp.asarray(rng.rand(32, 32).astype(np.float32))
+        delta = jnp.asarray((rng.rand(32, 32) * 6 - 3).astype(np.float32))
+        got = augment._warp_axis(img, delta, 0, 1, 4)
+        # oracle: bilinear with EDGE-mode coordinates (sample positions clamp
+        # at the border, the standard 'nearest'/edge warp convention)
+        base = np.arange(32, dtype=np.float32)[:, None]
+        coords = np.asarray(delta) + base
+        c0 = np.floor(coords)
+        f = coords - c0
+        i0 = np.clip(c0.astype(int), -1, 32)
+        im_pad = np.pad(np.asarray(img), ((1, 1), (0, 0)), mode="edge")
+        cols = np.arange(32)
+        a = im_pad[np.clip(i0 + 1, 0, 33), cols]
+        b = im_pad[np.clip(i0 + 2, 0, 33), cols]
+        want = a * (1 - f) + b * f
+        assert np.abs(np.asarray(got) - want).max() < 1e-5
+
+    def test_warp_axis_nearest(self, rng):
+        img = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+        delta = jnp.asarray(np.full((16, 16), 2.0, np.float32))
+        got = np.asarray(augment._warp_axis(img, delta, 1, 0, 3))
+        want = np.asarray(img)[:, np.clip(np.arange(16) + 2, 0, 15)]
+        assert np.array_equal(got, want)
+
+    def test_scale_mxu_matches_interp_oracle(self, rng):
+        """The MXU separable resample must equal direct bilinear sampling of
+        the zoom coordinates (in-range region)."""
+        img = jnp.asarray(rng.rand(32, 32).astype(np.float32))
+        mask = jnp.asarray((rng.rand(32, 32) > 0.5).astype(np.float32))
+        # force apply with a key whose uniform < prob
+        for key in range(20):
+            k = jax.random.PRNGKey(key)
+            k1, k2 = jax.random.split(k)
+            if float(jax.random.uniform(k1)) <= 1.0:
+                break
+        got_img, got_mask = augment.random_scale(k, img, mask, (1.1, 1.1), prob=1.0)
+        # oracle via scipy
+        from scipy.ndimage import map_coordinates as mc
+
+        c = (32 - 1) / 2.0
+        src = (np.arange(32) - c) / 1.1 + c
+        yy, xx = np.meshgrid(src, src, indexing="ij")
+        want = mc(np.asarray(img), [yy, xx], order=1, mode="nearest")
+        assert np.abs(np.asarray(got_img) - want).max() < 1e-3
+        assert set(np.unique(np.asarray(got_mask))) <= {0.0, 1.0}
+
     def test_select_tier(self):
         assert augment.select_tier(100) == "heavy"
         assert augment.select_tier(300) == "moderate"
