@@ -277,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--output-dir", required=True)
     an.add_argument("--census", action="store_true")
     an.add_argument("--compare-preprocessing", action="store_true")
+    an.add_argument("--morphology", action="store_true",
+                    help="cell-morphology census over MASK tiles → "
+                         "optimized post-processing parameters")
     an.add_argument("--n-samples", type=int, default=10)
     an.add_argument("--max-tiles", type=int, default=None)
 
@@ -799,9 +802,13 @@ def cmd_tif2jpg(args):
 
 
 def cmd_analyze_tiles(args):
-    from adipose_tpu.data.analysis import preprocessing_comparison, tile_quality_census
+    from adipose_tpu.data.analysis import (
+        morphology_census,
+        preprocessing_comparison,
+        tile_quality_census,
+    )
 
-    if not args.census and not args.compare_preprocessing:
+    if not args.census and not args.compare_preprocessing and not args.morphology:
         args.census = True
     if args.census:
         summary = tile_quality_census(args.tiles_dir, args.output_dir,
@@ -811,6 +818,10 @@ def cmd_analyze_tiles(args):
         preprocessing_comparison(args.tiles_dir, args.output_dir,
                                  n_samples=args.n_samples)
         print(f"wrote preprocessing comparison to {args.output_dir}")
+    if args.morphology:
+        report = morphology_census(args.tiles_dir, args.output_dir,
+                                   n_samples=args.n_samples)
+        print(json.dumps(report["optimized_parameters"], indent=2))
 
 
 def cmd_select_stain_reference(args):

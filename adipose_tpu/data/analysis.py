@@ -158,3 +158,126 @@ def preprocessing_comparison(
     pivot = df.groupby("variant")[["sharpness", "entropy", "contrast"]].mean()
     pivot.to_csv(output_dir / "preprocessing_summary.csv")
     return rows
+
+
+def _component_shape_stats(binary: np.ndarray, min_area: int = 10) -> list[dict]:
+    """Per-connected-component shape descriptors of a binary mask.
+
+    cv2-native equivalent of skimage ``regionprops`` as used by the reference
+    (``analysis/morphology parameter_analysis/analyze_training_data.py:91-117``):
+    area, perimeter, circularity 4πA/P², major/minor ellipse axes →
+    aspect ratio + eccentricity. Components below ``min_area`` px are skipped
+    (reference skips area < 10, :106-108).
+    """
+    contours, _ = cv2.findContours(
+        binary.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE
+    )
+    cells = []
+    for c in contours:
+        area = float(cv2.contourArea(c))
+        if area < min_area:
+            continue
+        perimeter = float(cv2.arcLength(c, closed=True))
+        circularity = 4.0 * np.pi * area / (perimeter**2 + 1e-10)
+        if len(c) >= 5:
+            (_, _), (d1, d2), _ = cv2.fitEllipse(c)
+            major, minor = max(d1, d2), min(d1, d2)
+        else:
+            (_, _), (d1, d2), _ = cv2.minAreaRect(c)
+            major, minor = max(d1, d2), min(d1, d2)
+        aspect = major / (minor + 1e-10)
+        ecc = float(np.sqrt(max(0.0, 1.0 - (minor / (major + 1e-10)) ** 2)))
+        cells.append({
+            "area": area, "perimeter": perimeter, "circularity": circularity,
+            "aspect_ratio": float(aspect), "eccentricity": ecc,
+        })
+    return cells
+
+
+def _dist_stats(values: list[float], percentiles: bool = False) -> dict:
+    if not values:
+        base = {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0}
+        if percentiles:
+            base.update({"std": 0.0, "percentile_5": 0.0, "percentile_95": 0.0})
+        return base
+    a = np.asarray(values, np.float64)
+    base = {
+        "min": float(a.min()), "max": float(a.max()),
+        "mean": float(a.mean()), "median": float(np.median(a)),
+    }
+    if percentiles:
+        base.update({
+            "std": float(a.std()),
+            "percentile_5": float(np.percentile(a, 5)),
+            "percentile_95": float(np.percentile(a, 95)),
+        })
+    return base
+
+
+def morphology_census(
+    masks_dir: str | Path,
+    output_dir: str | Path,
+    n_samples: int = 10,
+    min_area: int = 10,
+) -> dict:
+    """Adipose-cell morphology census → optimized post-processing parameters.
+
+    Behavioral spec: ``analysis/morphology parameter_analysis/
+    analyze_training_data.py`` — samples N masks evenly, measures every cell's
+    area/circularity/aspect-ratio/eccentricity distribution, then derives the
+    reference's recommended post-processing envelope (:182-210): min/max cell
+    size from the 5th/95th area percentiles with ×0.5/×1.5 buffers clamped to
+    [50, 50000], circularity floor mean−0.4 clamped ≥0.1, aspect-ratio ceiling
+    mean+1.5 clamped ≤6.0, kernel size 3, plus the fixed CRF constants the
+    reference emits for 1024² meat tissue. Writes
+    ``morphology_analysis.json``.
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    files = _tile_files(Path(masks_dir))
+    step = max(1, len(files) // max(n_samples, 1))
+    samples = files[::step][:n_samples]
+
+    all_cells: list[dict] = []
+    sample_results: dict = {}
+    for f in samples:
+        mask = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+        if mask is None:
+            continue
+        binary = (mask.astype(np.float32) > 0.5 * max(1.0, float(mask.max()))).astype(np.uint8)
+        cells = _component_shape_stats(binary, min_area=min_area)
+        sample_results[f.name] = {
+            "num_cells": len(cells),
+            "tissue_coverage": float(binary.mean()),
+            "mean_area": float(np.mean([c["area"] for c in cells])) if cells else 0.0,
+            "mean_circularity": (
+                float(np.mean([c["circularity"] for c in cells])) if cells else 0.0
+            ),
+        }
+        all_cells.extend(cells)
+
+    stats = {
+        "total_cells_analyzed": len(all_cells),
+        "area_stats": _dist_stats([c["area"] for c in all_cells], percentiles=True),
+        "circularity_stats": _dist_stats([c["circularity"] for c in all_cells]),
+        "aspect_ratio_stats": _dist_stats([c["aspect_ratio"] for c in all_cells]),
+        "eccentricity_stats": _dist_stats([c["eccentricity"] for c in all_cells]),
+        "sample_results": sample_results,
+    }
+    area, circ, aspect = (
+        stats["area_stats"], stats["circularity_stats"], stats["aspect_ratio_stats"]
+    )
+    optimized = {
+        "morphological": {
+            "min_cell_size": max(50, int(area["percentile_5"] * 0.5)),
+            "max_cell_size": min(50000, int(area["percentile_95"] * 1.5)),
+            "min_circularity": max(0.1, circ["mean"] - 2 * 0.2),
+            "max_aspect_ratio": min(6.0, aspect["mean"] + 1.5),
+            "morph_kernel_size": 3,
+        },
+        # fixed constants the reference emits for 1024² meat tissue (:204-210)
+        "crf": {"bilateral_sxy": 25, "bilateral_srgb": 15, "gaussian_sxy": 4},
+    }
+    report = {"cell_statistics": stats, "optimized_parameters": optimized}
+    (output_dir / "morphology_analysis.json").write_text(json.dumps(report, indent=2))
+    return report
