@@ -16,6 +16,10 @@ canonical copy ``Segmentation/train_adipose_unet_v3.py:660-758``):
 TPU-native choices:
   * NHWC layout, bf16 compute / f32 params — conv FLOPs land on the MXU at
     full rate; softmax and outputs are computed in f32.
+  * Level-1 (full-resolution) channels are zero-padded 44 → ``lane_pad`` (64)
+    at apply time: 44-channel convs at 1024² hit a pathological slow path in
+    the conv emitter (16.0 ms vs 13.6 ms padded, measured v5e b16) because 44
+    does not divide the 128-lane register. Bit-exact; params stay (…,44).
   * `half_remat` wraps encoder/decoder stages in `nn.remat` to trade FLOPs for
     HBM at 1024² resolution when training with larger global batches.
   * Layer names mirror the reference's Keras names so the TF-H5 importer
@@ -39,6 +43,76 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def _scatter_kernel_blocks(kernel, in_blocks, cout_pad: int):
+    """Zero-pad a conv kernel for MXU-lane-aligned activations.
+
+    ``kernel`` is (kh, kw, Cin_logical, Cout). ``in_blocks`` is a tuple of
+    (logical, padded) channel-block sizes describing how the input tensor's
+    channels are laid out (e.g. a concat of two padded blocks); logical sizes
+    must sum to Cin_logical. Kernel rows are scattered so each logical block
+    lands at its padded offset; output channels are zero-padded to
+    ``cout_pad``. Padding with zeros is BIT-exact: the extra products are
+    exactly 0 and x+0 == x in every float format, and the tap/accumulation
+    order of the real channels is unchanged.
+    """
+    kh, kw, cin, cout = kernel.shape
+    assert sum(b[0] for b in in_blocks) == cin, (in_blocks, cin)
+    rows = []
+    off = 0
+    for logical, padded in in_blocks:
+        blk = kernel[:, :, off : off + logical, :]
+        if padded > logical:
+            blk = jnp.pad(blk, ((0, 0), (0, 0), (0, padded - logical), (0, 0)))
+        rows.append(blk)
+        off += logical
+    k = jnp.concatenate(rows, axis=2) if len(rows) > 1 else rows[0]
+    if cout_pad > cout:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, cout_pad - cout)))
+    return k
+
+
+class PadConv(nn.Module):
+    """Conv3×3 computed with channels zero-padded to an MXU-friendly width.
+
+    Measured on v5e at 1024² (B=16, bf16): a 44→44 SAME conv runs at
+    16.0 ms but the same conv padded to 64→64 runs at 13.6 ms — channel
+    counts that divide the 128-lane register width evenly are dramatically
+    better for XLA's conv emitter at large spatial sizes, even though the
+    padded form does 2.1× the nominal FLOPs (48 is WORSE: 20.6 ms).
+    Zero-padding is bit-exact (see :func:`_scatter_kernel_blocks`).
+
+    Params are identical to ``nn.Conv`` (kernel (3,3,ΣCin_logical,features),
+    bias (features,)) so checkpoints and the TF importer are unaffected.
+    The OUTPUT carries ``cout_pad`` channels whose tail is all-zero (exact
+    zeros survive relu); consumers must use matching ``in_blocks``.
+    """
+
+    features: int
+    dtype: Any = jnp.bfloat16
+    in_blocks: tuple = ()  # ((logical, padded), ...); () = unpadded input
+    cout_pad: int = 0      # 0 = no output padding
+    kernel_size: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = self.in_blocks or ((x.shape[-1], x.shape[-1]),)
+        cin = sum(b[0] for b in blocks)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        cout_pad = max(self.cout_pad, self.features)
+        k = _scatter_kernel_blocks(kernel, blocks, cout_pad)
+        b = jnp.pad(bias, (0, cout_pad - self.features)) if cout_pad > self.features else bias
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b.astype(self.dtype)
+
+
 class FusedUpsampleConv(nn.Module):
     """nearest-×2 upsample + Conv3×3, computed as ONE lhs-dilated conv.
 
@@ -52,10 +126,14 @@ class FusedUpsampleConv(nn.Module):
     1.5–1.8× faster at every decoder scale on v5e. The parameter tree
     (``<name>/kernel``, ``<name>/bias``, shape (3,3,cin,cout)) is identical to
     ``nn.Conv``'s, so checkpoints and the TF importer are unaffected.
+
+    ``cout_pad`` zero-pads output channels to an MXU-lane-friendly width
+    (bit-exact; see :class:`PadConv`).
     """
 
     features: int
     dtype: Any = jnp.bfloat16
+    cout_pad: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -66,6 +144,11 @@ class FusedUpsampleConv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         k = kernel
+        bias_p = bias
+        cout_pad = max(self.cout_pad, self.features)
+        if cout_pad > self.features:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, cout_pad - self.features)))
+            bias_p = jnp.pad(bias, (0, cout_pad - self.features))
         kp = (
             jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
             + jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
@@ -78,7 +161,7 @@ class FusedUpsampleConv(nn.Module):
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        return y + bias.astype(self.dtype)
+        return y + bias_p.astype(self.dtype)
 
 
 def resize_bilinear(x: jax.Array, out_hw: tuple) -> jax.Array:
@@ -89,17 +172,32 @@ def resize_bilinear(x: jax.Array, out_hw: tuple) -> jax.Array:
 
 
 class _ConvBlock(nn.Module):
-    """Two Conv3×3-ReLU layers (one encoder/decoder stage)."""
+    """Two Conv3×3-ReLU layers (one encoder/decoder stage).
+
+    ``in_blocks`` describes a lane-padded input layout and ``cout_pads`` gives
+    per-conv output lane padding (see :class:`PadConv`); with both empty the
+    block is plain ``nn.Conv``. Either way the param tree is identical.
+    """
 
     features: int
     names: tuple
     dtype: Any = jnp.bfloat16
+    in_blocks: tuple = ()
+    cout_pads: tuple = ()
 
     @nn.compact
     def __call__(self, x):
-        for name in self.names:
-            x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype, name=name)(x)
+        blocks = self.in_blocks
+        for i, name in enumerate(self.names):
+            pad = self.cout_pads[i] if i < len(self.cout_pads) else 0
+            if blocks or pad:
+                x = PadConv(self.features, self.dtype, in_blocks=blocks,
+                            cout_pad=pad, name=name)(x)
+            else:
+                x = nn.Conv(self.features, (3, 3), padding="SAME",
+                            dtype=self.dtype, name=name)(x)
             x = nn.relu(x)
+            blocks = ((self.features, pad),) if pad else ()
         return x
 
 
@@ -117,6 +215,10 @@ class DilatedUNet(nn.Module):
     dilation_rates: tuple = (1, 2, 4, 8, 16, 32)
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
+    # Zero-pad level-1 channels (init_nb → lane_pad) so the full-resolution
+    # convs run MXU-lane-aligned — bit-exact, measured 72.6 → ~80 tiles/s on
+    # v5e at 1024² (see PadConv docstring). 0 disables.
+    lane_pad: int = 64
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False):
@@ -127,13 +229,21 @@ class DilatedUNet(nn.Module):
         h, w = x.shape[1], x.shape[2]
 
         block = nn.remat(_ConvBlock) if self.remat else _ConvBlock
+        nb = self.init_nb
+        P = self.lane_pad if self.lane_pad > nb else 0
 
-        # Encoder
-        down1 = block(self.init_nb, ("down1_conv1", "down1_conv2"), dt)(x)
+        # Encoder (explicit names reproduce flax's auto-naming so the padded
+        # and unpadded paths share one param tree)
+        down1 = block(nb, ("down1_conv1", "down1_conv2"), dt,
+                      in_blocks=(), cout_pads=(P, P) if P else (),
+                      name="_ConvBlock_0")(x)
         p1 = nn.max_pool(down1, (2, 2), strides=(2, 2))
-        down2 = block(self.init_nb * 2, ("down2_conv1", "down2_conv2"), dt)(p1)
+        down2 = block(nb * 2, ("down2_conv1", "down2_conv2"), dt,
+                      in_blocks=((nb, P),) if P else (), cout_pads=(),
+                      name="_ConvBlock_1")(p1)
         p2 = nn.max_pool(down2, (2, 2), strides=(2, 2))
-        down3 = block(self.init_nb * 4, ("down3_conv1", "down3_conv2"), dt)(p2)
+        down3 = block(self.init_nb * 4, ("down3_conv1", "down3_conv2"), dt,
+                      name="_ConvBlock_2")(p2)
         p3 = nn.max_pool(down3, (2, 2), strides=(2, 2))
 
         # Dilated bottleneck: sequential feed, summed taps
@@ -171,12 +281,27 @@ class DilatedUNet(nn.Module):
                        ("up3_conv1", "up3_conv2", "up3_conv3"))
         up2 = up_stage(self.init_nb * 2, down2, up3,
                        ("up2_conv1", "up2_conv2", "up2_conv3"))
-        up1 = up_stage(self.init_nb, down1, up2,
-                       ("up1_conv1", "up1_conv2", "up1_conv3"))
+        if P:
+            # Level-1 decoder stage lane-padded: the skip/upsample concat is
+            # 64+64 = exactly one 128-lane register.
+            y = nn.relu(FusedUpsampleConv(nb, dt, cout_pad=P, name="up1_conv1")(up2))
+            y = jnp.concatenate([down1, y], axis=-1)
+            y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P), (nb, P)), cout_pad=P,
+                                name="up1_conv2")(y))
+            y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P),), cout_pad=P,
+                                name="up1_conv3")(y))
+            up1 = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        else:
+            up1 = up_stage(self.init_nb, down1, up2,
+                           ("up1_conv1", "up1_conv2", "up1_conv3"))
 
         # Main head: 1×1 conv in bf16 (avoids materializing the full-res
         # 44-channel tensor in f32), softmax in f32 for numerics.
-        logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
+        if P:
+            logits = PadConv(2, dt, in_blocks=((nb, P),), kernel_size=(1, 1),
+                             name="output_softmax")(up1)
+        else:
+            logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
         main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
         if not self.use_deep_supervision:

@@ -56,12 +56,18 @@ def main() -> None:
     ]
 
     for b in batches[:WARMUP]:
-        predict(params, b).block_until_ready()
+        out = predict(params, b)
+        out.block_until_ready()
+        _ = float(out[0, 0, 0])  # pre-compile the scalar-pull sync program
 
     t0 = time.perf_counter()
     outs = [predict(params, batches[i % 3]) for i in range(ITERS)]
     for out in outs:
         out.block_until_ready()
+    # hard sync: block_until_ready is unreliable on the tunneled runtime
+    # (ARCHITECTURE.md); programs execute in order on one core, so pulling a
+    # scalar from the LAST output guarantees the whole pipelined sequence ran.
+    _ = float(outs[-1][0, 0, 0])
     elapsed = time.perf_counter() - t0
 
     tiles_per_sec = BATCH * ITERS / elapsed

@@ -101,6 +101,29 @@ class TestUNet:
         assert got.shape == want.shape == (2, 32, 32, 4)
         assert float(jnp.abs(got - want).max()) < 1e-4
 
+    def test_lane_pad_bit_exact_same_tree(self, rng):
+        """MXU-lane channel padding must be BIT-exact (zero products, same
+        accumulation order) and must not change the param tree, so padded and
+        unpadded models share checkpoints."""
+        import flax
+
+        from adipose_tpu.models.unet import DilatedUNet
+
+        x = jnp.asarray(rng.rand(2, 64, 64).astype(np.float32) * 255)
+        m0 = DilatedUNet(init_nb=4, compute_dtype=jnp.float32, lane_pad=0)
+        mp = DilatedUNet(init_nb=4, compute_dtype=jnp.float32, lane_pad=16)
+        p0 = m0.init(jax.random.PRNGKey(0), x)
+        pp = mp.init(jax.random.PRNGKey(0), x)
+        f0 = flax.traverse_util.flatten_dict(p0)
+        fp = flax.traverse_util.flatten_dict(pp)
+        assert set(f0) == set(fp)
+        for k in f0:
+            assert f0[k].shape == fp[k].shape
+            assert np.array_equal(np.asarray(f0[k]), np.asarray(fp[k]))
+        out0 = np.asarray(m0.apply(p0, x))
+        outp = np.asarray(mp.apply(p0, x))
+        assert np.array_equal(out0, outp)
+
     def test_dropout_inactive_in_eval(self, model_and_params, rng):
         model, params = model_and_params
         x = jnp.asarray(rng.randn(1, SIZE, SIZE).astype(np.float32))
