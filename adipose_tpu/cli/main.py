@@ -153,6 +153,9 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="full")
     cl.add_argument("--calibration", choices=["temperature", "platt", "isotonic"],
                     default=None)
+    cl.add_argument("--snapshot", action="append", default=[],
+                    help="extra checkpoint(s) to ensemble in logit space "
+                         "(repeatable; eval_adipose_classifier.py:128,324-336)")
     cl.add_argument("--output", default=None)
 
     tce = sub.add_parser("tile-classification-eval",
@@ -455,7 +458,9 @@ def cmd_eval_classifier(args):
     from adipose_tpu.train.trainer_classifier import _make_val_step
 
     weights_path = ckpt.resolve_weights_path(args.weights)
-    variables = ckpt.load_params(weights_path)
+    snapshots = [ckpt.load_params(weights_path)]
+    for extra in args.snapshot:
+        snapshots.append(ckpt.load_params(ckpt.resolve_weights_path(extra)))
     model = InceptionV3Classifier(dtype=jnp.bfloat16)
     val_step = _make_val_step(model, True, 1.0, 99.0)
 
@@ -466,7 +471,7 @@ def cmd_eval_classifier(args):
     out = args.output or (Path(weights_path).parent / "evaluation" /
                           f"{args.split}_tta_{args.tta_mode}")
     results = run_classifier_evaluation(
-        predict, [variables], ds, out,
+        predict, snapshots, ds, out,
         tta_mode=args.tta_mode, use_tta=args.use_tta,
         calibration=args.calibration,
     )

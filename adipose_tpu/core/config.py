@@ -54,6 +54,13 @@ class UNetConfig(_JsonMixin):
     # TPU-native knobs (no reference equivalent):
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay f32
     remat: bool = False  # jax.checkpoint over decoder stages
+    # MXU-lane channel padding for level-1 convs (bit-exact; see
+    # models/unet.py PadConv). Checkpoints are interchangeable across values.
+    # Default OFF for TRAINING: the backward pass stashes every level-1
+    # activation, and padded stashes OOM at batch 8 (20.4 GB > 15.75) while
+    # remat is a net loss (12.9 vs 14.6 tiles/s measured). Inference paths
+    # construct the model directly and keep the padded default (+6%).
+    lane_pad: int = 0
 
 
 @dataclass

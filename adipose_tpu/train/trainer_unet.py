@@ -144,6 +144,7 @@ class UNetTrainer:
             if self.model_cfg.compute_dtype == "bfloat16"
             else jnp.float32,
             remat=self.model_cfg.remat,
+            lane_pad=self.model_cfg.lane_pad,
         )
         self.loss_fn = unet_loss_from_config(self.cfg)
         self.history: list = []
