@@ -134,7 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--boundary-refine", action="store_true")
     e.add_argument("--ema", action="store_true")
     e.add_argument("--n-bootstrap", type=int, default=10000)
-    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--batch-size", type=int, default=16,
+                   help="EFFECTIVE device batch; TTA views fold into it")
     e.add_argument("--save-visualizations", action="store_true")
     e.add_argument("--n-vis-samples", type=int, default=20)
     e.add_argument("--profile-dir", default=None)
@@ -200,7 +201,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--stride", type=int, default=1024)
     r.add_argument("--min-coverage", type=float, default=0.9)
     r.add_argument("--data-root", default=None)
-    r.add_argument("--batch-size", type=int, default=8)
+    r.add_argument("--batch-size", type=int, default=16)
+    r.add_argument("--use-tta", action="store_true",
+                   help="D4 TTA per tile (reconstruct_full_images.py:903)")
+    r.add_argument("--tta-mode", choices=["minimal", "basic", "full"],
+                   default="basic")
+    r.add_argument("--boundary-refine", action="store_true")
 
     ov = sub.add_parser("classification-overlay",
                         help="render TP/FP/FN/TN tile overlay on a WSI")
@@ -230,7 +236,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--tile-size", type=int, default=1024)
     pl.add_argument("--classifier-threshold", type=float, default=0.5)
     pl.add_argument("--threshold", type=float, default=0.5)
-    pl.add_argument("--batch-size", type=int, default=8)
+    pl.add_argument("--batch-size", type=int, default=16)
 
     # -- preprocessing tools --------------------------------------------------
     ch = sub.add_parser("chunk-wsi", help="cut a huge WSI into chunks")
@@ -519,6 +525,11 @@ def cmd_segment(args):
         raise SystemExit("segment requires --weights or --bundle")
     if args.use_tta:
         predict = make_tta_predict(predict, args.tta_mode)
+        # TTA views fold into the device batch — deflate the tile chunk so
+        # the effective batch stays at --batch-size (HBM-bounded at 1024²)
+        from adipose_tpu.ops.d4 import MODE_IDS
+        views = len(MODE_IDS.get(args.tta_mode, MODE_IDS["basic"]))
+        args.batch_size = max(1, args.batch_size // views)
     in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     import jax.numpy as jnp
@@ -590,11 +601,19 @@ def cmd_reconstruct(args):
     from adipose_tpu.wsi.reconstruct import reconstruct_all_slides
 
     predict, params, _, _ = _load_segmenter(args.weights)
+    batch = args.batch_size
+    if args.use_tta:
+        from adipose_tpu.eval.tta import make_tta_predict
+        from adipose_tpu.ops.d4 import MODE_IDS
+
+        predict = make_tta_predict(predict, args.tta_mode)
+        # keep the EFFECTIVE device batch at --batch-size (views fold in)
+        batch = max(1, batch // len(MODE_IDS.get(args.tta_mode, MODE_IDS["basic"])))
     log = reconstruct_all_slides(
         args.images_dir, args.masks_dir, args.output_dir, predict, params,
         tile_size=args.tile_size, stride=args.stride,
         min_coverage=args.min_coverage, data_root=args.data_root,
-        batch_size=args.batch_size,
+        batch_size=batch, use_refinement=args.boundary_refine,
     )
     print(json.dumps({"slides": list(log["slides"]), "skipped": log["skipped"]},
                      indent=2))

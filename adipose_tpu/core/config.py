@@ -130,7 +130,9 @@ class EvalConfig(_JsonMixin):
     n_bootstrap: int = 10000
     eval_seed: int = 1337  # set_deterministic_seeds (:647-655)
     use_ema_weights: bool = False
-    batch_size: int = 8
+    # EFFECTIVE device batch (TTA views fold into it; the evaluator deflates
+    # the tile chunk by the view count). 16 is the v5e HBM sweet spot at 1024².
+    batch_size: int = 16
 
 
 @dataclass

@@ -153,6 +153,15 @@ class PublicationEvaluator:
             if self.cfg.use_tta
             else normalized_predict
         )
+        # TTA stacks its views into the model batch (eval/tta.py), so deflate
+        # the tile chunk to keep the EFFECTIVE device batch at cfg.batch_size
+        # — otherwise full TTA at 1024² pushes views×batch tiles through the
+        # U-Net and overflows HBM (b24 already OOMs on v5e, ARCHITECTURE.md).
+        from adipose_tpu.ops.d4 import MODE_IDS
+
+        tta_mode = self.cfg.tta_mode if self.cfg.tta_mode in MODE_IDS else "basic"
+        self.n_views = len(MODE_IDS[tta_mode]) if self.cfg.use_tta else 1
+        self.tile_batch = max(1, self.cfg.batch_size // self.n_views)
 
     # -- inference ------------------------------------------------------------
 
@@ -168,7 +177,7 @@ class PublicationEvaluator:
                 tile_size=self.model_cfg.tile_size,
                 overlap=cfg.sliding_overlap,
                 blend_mode=cfg.blend_mode,
-                batch_size=cfg.batch_size,
+                batch_size=self.tile_batch,
             )
             for i, img in enumerate(images):
                 preds[i] = sw.predict(self.predict, self.params, img)
@@ -177,7 +186,7 @@ class PublicationEvaluator:
             for i, img in enumerate(images):
                 by_shape[img.shape].append(i)
             for shape, idxs in by_shape.items():
-                b = cfg.batch_size
+                b = self.tile_batch
                 for s in range(0, len(idxs), b):
                     chunk_idx = idxs[s : s + b]
                     batch = np.stack([images[j] for j in chunk_idx])

@@ -210,6 +210,7 @@ def reconstruct_all_slides(
     threshold: float = 0.5,
     data_root: str | Path | None = None,
     batch_size: int = 8,
+    use_refinement: bool = False,
 ) -> dict:
     """Batch driver with coverage gating, per-slide outputs, and
     ``reconstruction_log.json`` (:586-866)."""
@@ -217,7 +218,8 @@ def reconstruct_all_slides(
     output_dir.mkdir(parents=True, exist_ok=True)
     slides = group_tiles_by_slide(images_dir, masks_dir)
     recon = SlideReconstructor(predict_fn, params, tile_size, stride,
-                               batch_size=batch_size)
+                               batch_size=batch_size,
+                               use_refinement=use_refinement)
     log = {
         "timestamp": datetime.now().isoformat(),
         "n_slides": len(slides),

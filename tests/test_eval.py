@@ -234,6 +234,28 @@ class TestEvaluator:
             "hausdorff95", "assd",
         }
 
+    def test_tta_deflates_tile_batch(self, eval_fixture):
+        """batch_size is the EFFECTIVE device batch: the TTA views fold into
+        the forward batch, so the tile chunk must shrink by the view count
+        (full 8-view TTA at batch 16 would otherwise push b=128 at 1024² and
+        overflow HBM)."""
+        from adipose_tpu.core.config import EvalConfig, UNetConfig
+        from adipose_tpu.eval.evaluator import PublicationEvaluator
+
+        ckpt_dir, _ = eval_fixture
+        mcfg = UNetConfig(tile_size=64, init_nb=4, compute_dtype="float32")
+        for mode, views in (("minimal", 2), ("basic", 4), ("full", 8)):
+            ev = PublicationEvaluator(
+                ckpt_dir, EvalConfig(use_tta=True, tta_mode=mode, batch_size=16),
+                mcfg,
+            )
+            assert ev.n_views == views
+            assert ev.tile_batch == 16 // views
+        ev = PublicationEvaluator(
+            ckpt_dir, EvalConfig(use_tta=False, batch_size=16), mcfg
+        )
+        assert ev.tile_batch == 16
+
     def test_tta_and_sliding_window_modes(self, eval_fixture):
         from adipose_tpu.core.config import EvalConfig, UNetConfig
         from adipose_tpu.eval.evaluator import PublicationEvaluator, build_output_dir
