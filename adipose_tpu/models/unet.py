@@ -164,6 +164,81 @@ class FusedUpsampleConv(nn.Module):
         return y + bias_p.astype(self.dtype)
 
 
+class DiffSigmoidHead(nn.Module):
+    """2-way-softmax-class-1 head computed as ``sigmoid(logit1 - logit0)``.
+
+    The reference head is Conv1×1→softmax(2)→slice class 1
+    (``train_adipose_unet_v3.py:747-752``). Mathematically
+    ``softmax([l0,l1])[1] == sigmoid(l1-l0)`` exactly, so the head only ever
+    needs the DIFFERENCE of the two 1×1 kernels — one channel, not two.
+
+    Why it exists: a 2-channel tensor at 1024² lands in a pathological
+    T(2,128) TPU layout; the conv + f32 softmax chain (exp/div/reduce_max/
+    reduce_sum over 16M×2 f32 elements) measured 28 ms of a 183 ms forward
+    (15%). The single-channel contraction (einsum over the lane dim, f32
+    accumulation) measures 7 ms isolated and fuses cleanly. f32 parity vs the
+    softmax form is ~1e-7; under bf16 compute the kernel-difference rounding
+    is below the bf16 noise floor already accepted model-wide.
+
+    The param tree is IDENTICAL to the Conv1×1 head (kernel (1,1,Cin,2),
+    bias (2,)) so orbax checkpoints and the TF-H5 importer are unaffected.
+    ``cin`` is the logical channel count; inputs may carry zero-padded lanes
+    beyond it (see :class:`PadConv`).
+    """
+
+    cin: int
+    n_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.cin, self.n_classes), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.n_classes,), jnp.float32
+        )
+        wd = kernel[0, 0, :, 1] - kernel[0, 0, :, 0]
+        if x.shape[-1] > self.cin:  # lane-padded input: pad taps with zeros
+            wd = jnp.pad(wd, (0, x.shape[-1] - self.cin))
+        # HIGHEST: the env's global bf16 matmul default would truncate f32
+        # activations here; for bf16 inputs HIGHEST is a no-op (MXU multiplies
+        # bf16 exactly into f32 accumulators), so this costs nothing.
+        logit = jnp.einsum(
+            "bhwc,c->bhw", x, wd.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.nn.sigmoid(logit + (bias[1] - bias[0]))
+
+
+class SigmoidHead1x1(nn.Module):
+    """Conv1×1(1 channel)→sigmoid aux head as a lane-dim contraction.
+
+    Same motivation as :class:`DiffSigmoidHead` (single-channel conv outputs
+    pick bad TPU layouts); params identical to ``nn.Conv(1, (1,1))``.
+    """
+
+    cin: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.cin, 1),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+        w = kernel[0, 0, :, 0]
+        if x.shape[-1] > self.cin:
+            w = jnp.pad(w, (0, x.shape[-1] - self.cin))
+        logit = jnp.einsum(
+            "bhwc,c->bhw", x, w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # see DiffSigmoidHead
+        )
+        return jax.nn.sigmoid(logit + bias[0])
+
+
 def resize_bilinear(x: jax.Array, out_hw: tuple) -> jax.Array:
     """``tf.image.resize(..., method='bilinear')`` equivalent (half-pixel
     centers, no corner alignment) for NHWC."""
@@ -295,22 +370,17 @@ class DilatedUNet(nn.Module):
             up1 = up_stage(self.init_nb, down1, up2,
                            ("up1_conv1", "up1_conv2", "up1_conv3"))
 
-        # Main head: 1×1 conv in bf16 (avoids materializing the full-res
-        # 44-channel tensor in f32), softmax in f32 for numerics.
-        if P:
-            logits = PadConv(2, dt, in_blocks=((nb, P),), kernel_size=(1, 1),
-                             name="output_softmax")(up1)
-        else:
-            logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
-        main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        # Main head: softmax-2ch-slice computed as sigmoid(logit-difference)
+        # (exact reformulation; see DiffSigmoidHead — saves 15% of forward).
+        main = DiffSigmoidHead(cin=nb, name="output_softmax")(up1)
 
         if not self.use_deep_supervision:
             return main
 
-        aux1 = nn.Conv(1, (1, 1), dtype=dt, name="aux_out1")(up3)
-        aux1 = resize_bilinear(jax.nn.sigmoid(aux1.astype(jnp.float32)), (h, w))[..., 0]
-        aux2 = nn.Conv(1, (1, 1), dtype=dt, name="aux_out2")(up2)
-        aux2 = resize_bilinear(jax.nn.sigmoid(aux2.astype(jnp.float32)), (h, w))[..., 0]
+        aux1 = SigmoidHead1x1(cin=nb * 4, name="aux_out1")(up3)
+        aux1 = resize_bilinear(aux1[..., None], (h, w))[..., 0]
+        aux2 = SigmoidHead1x1(cin=nb * 2, name="aux_out2")(up2)
+        aux2 = resize_bilinear(aux2[..., None], (h, w))[..., 0]
         return {"main_out": main, "aux_out1": aux1, "aux_out2": aux2}
 
 
