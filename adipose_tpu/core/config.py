@@ -61,6 +61,12 @@ class UNetConfig(_JsonMixin):
     # remat is a net loss (12.9 vs 14.6 tiles/s measured). Inference paths
     # construct the model directly and keep the padded default (+6%).
     lane_pad: int = 0
+    # sigmoid(logit-diff) head (models/unet.py DiffSigmoidHead). Default OFF
+    # for TRAINING like lane_pad: the einsum backward materializes a
+    # badly-laid-out full-res gradient (+2 GB, OOMs batch 8). Inference paths
+    # construct the model directly and keep it on (+6.5%). Both heads read
+    # the same params; checkpoints are interchangeable.
+    fast_head: bool = False
 
 
 @dataclass

@@ -294,6 +294,12 @@ class DilatedUNet(nn.Module):
     # convs run MXU-lane-aligned — bit-exact, measured 72.6 → ~80 tiles/s on
     # v5e at 1024² (see PadConv docstring). 0 disables.
     lane_pad: int = 64
+    # Compute the softmax-slice head as sigmoid(logit diff) (DiffSigmoidHead;
+    # 83.3 → 88.7 tiles/s inference). The einsum's BACKWARD materializes a
+    # badly-laid-out full-res gradient copy (+2 GB at batch 8, OOMs training),
+    # so trainers may turn it off — both heads read the same params and are
+    # mathematically equal, so checkpoints interchange freely.
+    fast_head: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False):
@@ -372,15 +378,29 @@ class DilatedUNet(nn.Module):
 
         # Main head: softmax-2ch-slice computed as sigmoid(logit-difference)
         # (exact reformulation; see DiffSigmoidHead — saves 15% of forward).
-        main = DiffSigmoidHead(cin=nb, name="output_softmax")(up1)
+        if self.fast_head:
+            main = DiffSigmoidHead(cin=nb, name="output_softmax")(up1)
+        elif P:
+            logits = PadConv(2, dt, in_blocks=((nb, P),), kernel_size=(1, 1),
+                             name="output_softmax")(up1)
+            main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        else:
+            logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
+            main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
         if not self.use_deep_supervision:
             return main
 
-        aux1 = SigmoidHead1x1(cin=nb * 4, name="aux_out1")(up3)
-        aux1 = resize_bilinear(aux1[..., None], (h, w))[..., 0]
-        aux2 = SigmoidHead1x1(cin=nb * 2, name="aux_out2")(up2)
-        aux2 = resize_bilinear(aux2[..., None], (h, w))[..., 0]
+        if self.fast_head:
+            aux1 = SigmoidHead1x1(cin=nb * 4, name="aux_out1")(up3)[..., None]
+            aux2 = SigmoidHead1x1(cin=nb * 2, name="aux_out2")(up2)[..., None]
+        else:
+            aux1 = jax.nn.sigmoid(
+                nn.Conv(1, (1, 1), dtype=dt, name="aux_out1")(up3).astype(jnp.float32))
+            aux2 = jax.nn.sigmoid(
+                nn.Conv(1, (1, 1), dtype=dt, name="aux_out2")(up2).astype(jnp.float32))
+        aux1 = resize_bilinear(aux1, (h, w))[..., 0]
+        aux2 = resize_bilinear(aux2, (h, w))[..., 0]
         return {"main_out": main, "aux_out1": aux1, "aux_out2": aux2}
 
 

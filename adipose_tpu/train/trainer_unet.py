@@ -145,6 +145,7 @@ class UNetTrainer:
             else jnp.float32,
             remat=self.model_cfg.remat,
             lane_pad=self.model_cfg.lane_pad,
+            fast_head=self.model_cfg.fast_head,
         )
         self.loss_fn = unet_loss_from_config(self.cfg)
         self.history: list = []

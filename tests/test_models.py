@@ -42,6 +42,23 @@ class TestUNet:
         for v in out.values():
             assert v.shape == (1, SIZE, SIZE)
 
+    def test_fast_head_matches_softmax_head(self, rng):
+        """sigmoid(logit-diff) head == softmax-slice head on the SAME params
+        (exact reformulation; trainers run fast_head=False for its better
+        backward memory layout, inference runs True — checkpoints must
+        interchange freely)."""
+        x = jnp.asarray(rng.randn(1, SIZE, SIZE).astype(np.float32))
+        kw = dict(init_nb=8, use_deep_supervision=True, lane_pad=0,
+                  compute_dtype=jnp.float32)
+        fast = DilatedUNet(fast_head=True, **kw)
+        slow = DilatedUNet(fast_head=False, **kw)
+        params = fast.init(jax.random.PRNGKey(0), x)
+        of = fast.apply(params, x)
+        os_ = slow.apply(params, x)  # identical param tree
+        for k in of:
+            np.testing.assert_allclose(np.asarray(of[k]), np.asarray(os_[k]),
+                                       atol=2e-6)
+
     def test_param_count_matches_reference_formula(self, model_and_params):
         """Conv param count is architecture-determined; verify against a
         hand-computed oracle for init_nb=8 (reference arch :660-758)."""
