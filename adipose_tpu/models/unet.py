@@ -201,6 +201,13 @@ class DiffSigmoidHead(nn.Module):
         wd = kernel[0, 0, :, 1] - kernel[0, 0, :, 0]
         if x.shape[-1] > self.cin:  # lane-padded input: pad taps with zeros
             wd = jnp.pad(wd, (0, x.shape[-1] - self.cin))
+        bd = bias[1] - bias[0]
+        # NOTE: a Pallas replacement for this einsum was tried and REVERTED
+        # (ops/pallas/unet_kernels.py): the custom call's default-layout
+        # operand constraint forces a 2.1 GB relayout of the conv output
+        # ({3,0,2,1} -> {3,2,1,0}) and the kernel's lane-dim reduction runs
+        # on the VPU at 22 ms vs einsum's 8.6 ms (v5e, b16) — 88.7 -> 55.8
+        # tiles/s end-to-end. Keep the einsum.
         # HIGHEST: the env's global bf16 matmul default would truncate f32
         # activations here; for bf16 inputs HIGHEST is a no-op (MXU multiplies
         # bf16 exactly into f32 accumulators), so this costs nothing.
@@ -209,7 +216,7 @@ class DiffSigmoidHead(nn.Module):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        return jax.nn.sigmoid(logit + (bias[1] - bias[0]))
+        return jax.nn.sigmoid(logit + bd)
 
 
 class SigmoidHead1x1(nn.Module):

@@ -49,3 +49,54 @@ def test_percentile_constant_tile():
     got = np.asarray(percentile_normalize_u8(jnp.asarray(flat)))
     assert np.isfinite(got).all()
     assert np.all(got == 0.0)  # zero range ⇒ (x - low)/1e-3 = 0
+
+
+def test_diff_sigmoid_head_matches_einsum():
+    from adipose_tpu.ops.pallas.unet_kernels import (
+        diff_sigmoid_head, diff_sigmoid_head_vjp)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 64, 96, 64).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.randn(64).astype(np.float32))
+    b = jnp.float32(0.3)
+    import jax
+
+    ref = jax.nn.sigmoid(
+        jnp.einsum("bhwc,c->bhw", x, w.astype(x.dtype),
+                   preferred_element_type=jnp.float32) + b)
+    got = diff_sigmoid_head(x, w, b)
+    assert got.shape == (2, 64, 96)
+    assert got.dtype == jnp.float32
+    # f32-upcast VPU products match the einsum's exact bf16 multiplies; only
+    # the f32 accumulation order differs.
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-6
+
+    def loss_pallas(x, w, b):
+        return jnp.sum(diff_sigmoid_head_vjp(x, w, b) ** 2)
+
+    def loss_ref(x, w, b):
+        l = jnp.einsum("bhwc,c->bhw", x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32) + b
+        return jnp.sum(jax.nn.sigmoid(l) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    assert float(jnp.max(jnp.abs(
+        g1[0].astype(jnp.float32) - g2[0].astype(jnp.float32)))) < 5e-3
+    assert float(jnp.max(jnp.abs(g1[1] - g2[1]) / (jnp.abs(g2[1]) + 1e-3))) < 1e-2
+    assert float(g1[2]) == pytest.approx(float(g2[2]), rel=1e-5)
+
+
+def test_diff_sigmoid_head_odd_height():
+    from adipose_tpu.ops.pallas.unet_kernels import diff_sigmoid_head
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 48, 64, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16).astype(np.float32))
+    got = diff_sigmoid_head(x, w, jnp.float32(-0.1))
+    import jax
+
+    ref = jax.nn.sigmoid(
+        jnp.einsum("bhwc,c->bhw", x, w, preferred_element_type=jnp.float32)
+        - 0.1)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-6
