@@ -100,6 +100,22 @@ def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
     return step
 
 
+def _looks_like_compile_oom(err: BaseException) -> bool:
+    """Heuristic: did the train step fail in compilation for memory reasons?
+
+    v5e measurement (scripts/exp_train_step_bench.py): the b4 1024² step hits
+    an XLA conv lowering that allocates 20.8 G of HLO temps and fails to
+    compile, while b2 and b8 compile fine. Error surfaces differ by runtime:
+    plain TPU raises RESOURCE_EXHAUSTED / 'Ran out of memory'; the tunneled
+    remote compiler wraps it in an INTERNAL remote_compile HTTP error.
+    """
+    msg = str(err)
+    return any(s in msg for s in (
+        "RESOURCE_EXHAUSTED", "Ran out of memory", "out of memory",
+        "remote_compile", "hbm", "vmem",
+    ))
+
+
 def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float):
     @jax.jit
     def step(params, images_u8, masks_u8, mean, std):
@@ -251,7 +267,29 @@ class UNetTrainer:
                 aug_key, step_key = jax.random.split(rng)
                 imgs, masks = shard_batch(self.mesh, (imgs, masks))
                 imgs, masks = augment_step(aug_key, imgs, masks)
-                state, m = train_step(state, imgs, masks, step_key, mean, std)
+                try:
+                    state, m = train_step(state, imgs, masks, step_key, mean, std)
+                except Exception as err:  # pragma: no cover - TPU-dependent
+                    # Some batch sizes hit an XLA conv lowering whose HLO
+                    # temps exceed HBM (b4 at 1024² on v5e: 20.8 G — see
+                    # _looks_like_compile_oom). remat halves the live set
+                    # (8.1 tiles/s at b4, measured) at ~30% recompute; retry
+                    # ONCE with it before giving up.
+                    if self.model.remat or not _looks_like_compile_oom(err):
+                        raise
+                    print(f"[train] step failed to compile ({type(err).__name__}); "
+                          "retrying with remat=True")
+                    self.model = self.model.clone(remat=True)
+                    train_step = _make_fused_train_step(
+                        self.model, self.loss_fn, augment_tier,
+                        cfg.normalization_method, cfg.percentile_low,
+                        cfg.percentile_high,
+                    )
+                    val_step = _make_val_step(
+                        self.model, self.loss_fn, cfg.normalization_method,
+                        cfg.percentile_low, cfg.percentile_high,
+                    )
+                    state, m = train_step(state, imgs, masks, step_key, mean, std)
                 train_metrics.append(m)
             val_metrics = []
             for imgs, masks in self.val_data.epoch_batches(epoch, shuffle=False):

@@ -209,3 +209,29 @@ class TestEndToEndTraining:
         # history recorded losses
         losses = [h["loss"] for h in trainer.history]
         assert losses[-1] < losses[0]
+
+
+class TestRematFallback:
+    """Auto-remat compile-OOM fallback (trainer_unet)."""
+
+    def test_remat_clone_preserves_params_and_outputs(self, rng):
+        model = DilatedUNet(init_nb=8, compute_dtype=jnp.bfloat16)
+        rem = model.clone(remat=True)
+        assert rem.remat and rem.init_nb == model.init_nb
+        x = jnp.asarray(rng.rand(1, 64, 64).astype(np.float32))
+        p = model.init(jax.random.PRNGKey(0), x)
+        p2 = rem.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p2)
+        # remat recomputes the SAME ops — bit-identical forward
+        a = model.apply(p, x, train=False)
+        b = rem.apply(p, x, train=False)
+        assert float(jnp.max(jnp.abs(a - b))) == 0.0
+
+    def test_compile_oom_heuristic(self):
+        from adipose_tpu.train.trainer_unet import _looks_like_compile_oom
+
+        assert _looks_like_compile_oom(RuntimeError(
+            "RESOURCE_EXHAUSTED: Ran out of memory in memory space hbm"))
+        assert _looks_like_compile_oom(RuntimeError(
+            "INTERNAL: http://127.0.0.1:8103/remote_compile: HTTP 500"))
+        assert not _looks_like_compile_oom(ValueError("shape mismatch"))
