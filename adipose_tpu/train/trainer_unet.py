@@ -215,15 +215,22 @@ class UNetTrainer:
             {"params": mask} if mask is not None else None,
         )
         state = TrainState.create(params, tx)
-        train_step = _make_fused_train_step(
-            self.model, self.loss_fn, augment_tier,
-            cfg.normalization_method, cfg.percentile_low, cfg.percentile_high,
-        )
+
+        def build_steps():
+            return (
+                _make_fused_train_step(
+                    self.model, self.loss_fn, augment_tier,
+                    cfg.normalization_method, cfg.percentile_low,
+                    cfg.percentile_high,
+                ),
+                _make_val_step(
+                    self.model, self.loss_fn, cfg.normalization_method,
+                    cfg.percentile_low, cfg.percentile_high,
+                ),
+            )
+
+        train_step, val_step = build_steps()
         augment_step = make_augment_step(augment_tier)
-        val_step = _make_val_step(
-            self.model, self.loss_fn,
-            cfg.normalization_method, cfg.percentile_low, cfg.percentile_high,
-        )
         schedule = (
             cosine_with_warmup(lr, min_lr, cfg.warmup_epochs, epochs)
             if cfg.use_cosine_schedule
@@ -272,24 +279,36 @@ class UNetTrainer:
                 except Exception as err:  # pragma: no cover - TPU-dependent
                     # Some batch sizes hit an XLA conv lowering whose HLO
                     # temps exceed HBM (b4 at 1024² on v5e: 20.8 G — see
-                    # _looks_like_compile_oom). remat halves the live set
-                    # (8.1 tiles/s at b4, measured) at ~30% recompute; retry
-                    # ONCE with it before giving up.
-                    if self.model.remat or not _looks_like_compile_oom(err):
+                    # _looks_like_compile_oom). The retry ladder:
+                    #   1. same step again — a transient remote-compile/HTTP
+                    #      failure (indistinguishable from OOM through the
+                    #      tunnel) should not permanently flip remat on;
+                    #   2. rebuild with remat=True (same param tree,
+                    #      bit-identical forward — tested): makes b4 compile
+                    #      and run at 8.1 tiles/s (~30% recompute, measured).
+                    # The step donates its state; a COMPILE failure leaves
+                    # the buffers intact, but if this failure came from
+                    # execution the donated state is gone and retrying would
+                    # mask the real error — check before retrying.
+                    donated = any(
+                        getattr(leaf, "is_deleted", lambda: False)()
+                        for leaf in jax.tree_util.tree_leaves(state.params)
+                    )
+                    if (donated or self.model.remat
+                            or not _looks_like_compile_oom(err)):
                         raise
-                    print(f"[train] step failed to compile ({type(err).__name__}); "
-                          "retrying with remat=True")
-                    self.model = self.model.clone(remat=True)
-                    train_step = _make_fused_train_step(
-                        self.model, self.loss_fn, augment_tier,
-                        cfg.normalization_method, cfg.percentile_low,
-                        cfg.percentile_high,
-                    )
-                    val_step = _make_val_step(
-                        self.model, self.loss_fn, cfg.normalization_method,
-                        cfg.percentile_low, cfg.percentile_high,
-                    )
-                    state, m = train_step(state, imgs, masks, step_key, mean, std)
+                    try:
+                        print(f"[train] step failed ({type(err).__name__}); "
+                              "retrying once (transient?)")
+                        state, m = train_step(state, imgs, masks, step_key,
+                                              mean, std)
+                    except Exception:
+                        print("[train] step failed again; rebuilding with "
+                              "remat=True")
+                        self.model = self.model.clone(remat=True)
+                        train_step, val_step = build_steps()
+                        state, m = train_step(state, imgs, masks, step_key,
+                                              mean, std)
                 train_metrics.append(m)
             val_metrics = []
             for imgs, masks in self.val_data.epoch_batches(epoch, shuffle=False):

@@ -12,7 +12,11 @@ def main():
 
     print("backend:", jax.devices())
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(16, 1024, 1024, 64).astype(np.float32)).astype(jnp.bfloat16)
+    # big operand generated ON DEVICE: a 4 GB host upload through the tunnel
+    # stalls 20+ minutes (CLAUDE.md)
+    x = jax.jit(lambda k: jax.random.normal(
+        k, (16, 1024, 1024, 64), jnp.bfloat16))(jax.random.PRNGKey(0))
+    x.block_until_ready()
     w = jnp.asarray(rng.randn(64).astype(np.float32))
     b = jnp.float32(0.1)
 

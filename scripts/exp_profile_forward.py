@@ -39,10 +39,6 @@ def main():
     fusion_ops = {}
     cur = None
     for line in hlo.splitlines():
-        m = re.match(r"%?(\S+)\s+\([^)]*\)\s*->.*{", line)
-        if line.startswith("%fused_") or re.match(r"^%?\w+_computation", line):
-            pass
-        mm = re.match(r"^(%\S+|\w[\w.\-]*)\s*\(", line.strip())
         if line.rstrip().endswith("{") and "(" in line:
             cur = line.strip().split()[0].lstrip("%")
             fusion_ops.setdefault(cur, [])

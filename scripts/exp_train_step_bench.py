@@ -28,7 +28,6 @@ def main():
     cfg = TrainConfig()
     model = DilatedUNet(init_nb=44, compute_dtype=jnp.bfloat16,
                         lane_pad=0, fast_head=False)
-    params = model.init(key_for("bench.init"), jnp.zeros((1, TILE, TILE)))
     tx = make_optimizer(cfg.optimizer, cfg.lr_phase1, cfg.weight_decay)
     loss_fn = unet_loss_from_config(cfg)
     step = _make_fused_train_step(model, loss_fn, cfg.augment_level,
