@@ -88,15 +88,20 @@ class DualModelWSIPipeline:
         if pad_h or pad_w:
             gray = np.pad(gray, ((0, pad_h), (0, pad_w)), mode="reflect")
         positions = sliding_window_positions(gray.shape, t, self.overlap)
-        tiles = np.stack([
-            gray[y : y + t, x : x + t] for (y, x) in positions
-        ]).astype(np.float32)
+        # Keep tiles in the source dtype (u8 for real slides): host->device
+        # transfers are 4x smaller than f32, and every consumer casts on
+        # device where the conversion is free.
+        tiles = np.stack([gray[y : y + t, x : x + t] for (y, x) in positions])
         timings["tiling_s"] = time.time() - t0
+
+        def as_f32(c):
+            return c.astype(jnp.float32)
 
         # QC
         t0 = time.time()
         good = self._batched(
-            lambda c: classify_tiles_batch(c, *self.qc_args)["is_good"], tiles
+            lambda c: classify_tiles_batch(as_f32(c), *self.qc_args)["is_good"],
+            tiles,
         ).astype(bool)
         timings["qc_s"] = time.time() - t0
 
@@ -105,7 +110,8 @@ class DualModelWSIPipeline:
         probs = np.zeros(len(tiles), np.float32)
         if good.any():
             probs[good] = self._batched(
-                lambda c: self.classifier_predict(self.classifier_variables, c),
+                lambda c: self.classifier_predict(
+                    self.classifier_variables, as_f32(c)),
                 tiles[good],
             )
         positive = good & (probs >= self.classifier_threshold)
@@ -113,10 +119,10 @@ class DualModelWSIPipeline:
 
         # Segmentation on positive tiles only
         t0 = time.time()
-        seg = np.zeros_like(tiles)
+        seg = np.zeros(tiles.shape, np.float32)
         if positive.any():
             seg[positive] = self._batched(
-                lambda c: self.segmenter_predict(self.segmenter_params, c),
+                lambda c: self.segmenter_predict(self.segmenter_params, as_f32(c)),
                 tiles[positive],
             )
         timings["segment_s"] = time.time() - t0
