@@ -35,6 +35,49 @@ def gaussian_weight_map(tile_size: int, sigma_factor: float = 0.25) -> jnp.ndarr
     return weights / jnp.max(weights)
 
 
+def _scatter_add(canvas: jax.Array, patches: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    """fori scatter-add of (N, T, T) patches into a canvas at (y, x) corners."""
+    n, t, _ = patches.shape
+
+    def body(i, cv):
+        y = positions[i, 0]
+        x = positions[i, 1]
+        cur = jax.lax.dynamic_slice(cv, (y, x), (t, t))
+        return jax.lax.dynamic_update_slice(cv, cur + patches[i], (y, x))
+
+    return jax.lax.fori_loop(0, n, body, canvas)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def accumulate_predictions(acc: jax.Array, tiles: jax.Array,
+                           positions: jax.Array, weight_map: jax.Array,
+                           valid: jax.Array) -> jax.Array:
+    """Add ``valid``-masked weighted tiles into the accumulator canvas.
+
+    Device-resident incremental half of :func:`blend_tiles`, so callers (the
+    WSI pipeline) can blend chunk-by-chunk without round-tripping N full
+    (T, T) f32 prediction maps through the host. ``valid`` zeroes out the
+    pad entries that batch-alignment appends.
+    """
+    w = tiles.astype(jnp.float32) * weight_map[None] * valid[:, None, None]
+    return _scatter_add(acc, w, positions)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def accumulate_weights(wsum: jax.Array, positions: jax.Array,
+                       weight_map: jax.Array, valid: jax.Array) -> jax.Array:
+    """Add the weight map at each valid position (denominator canvas)."""
+    n = positions.shape[0]
+    w = weight_map[None] * valid[:, None, None]
+    return _scatter_add(wsum, jnp.broadcast_to(w, (n, *weight_map.shape)), positions)
+
+
+@jax.jit
+def finalize_blend(acc: jax.Array, wsum: jax.Array) -> jax.Array:
+    return acc / jnp.maximum(wsum, 1e-8)
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def blend_tiles(
     tiles: jax.Array,
@@ -55,21 +98,11 @@ def blend_tiles(
     """
     tiles = tiles.astype(jnp.float32)
     n, t, _ = tiles.shape
-    acc = jnp.zeros((out_h, out_w), jnp.float32)
-    wsum = jnp.zeros((out_h, out_w), jnp.float32)
-    weighted = tiles * weight_map[None]
-
-    def body(i, carry):
-        acc, wsum = carry
-        y = positions[i, 0]
-        x = positions[i, 1]
-        patch = jax.lax.dynamic_slice(acc, (y, x), (t, t))
-        acc = jax.lax.dynamic_update_slice(acc, patch + weighted[i], (y, x))
-        wpatch = jax.lax.dynamic_slice(wsum, (y, x), (t, t))
-        wsum = jax.lax.dynamic_update_slice(wsum, wpatch + weight_map, (y, x))
-        return acc, wsum
-
-    acc, wsum = jax.lax.fori_loop(0, n, body, (acc, wsum))
+    acc = _scatter_add(jnp.zeros((out_h, out_w), jnp.float32),
+                       tiles * weight_map[None], positions)
+    wsum = _scatter_add(jnp.zeros((out_h, out_w), jnp.float32),
+                        jnp.broadcast_to(weight_map[None], (n, t, t)),
+                        positions)
     return acc / jnp.maximum(wsum, 1e-8)
 
 

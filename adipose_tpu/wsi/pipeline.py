@@ -27,7 +27,13 @@ import cv2
 import jax.numpy as jnp
 import numpy as np
 
-from adipose_tpu.ops.blend import blend_tiles, gaussian_weight_map, sliding_window_positions
+from adipose_tpu.ops.blend import (
+    accumulate_predictions,
+    accumulate_weights,
+    finalize_blend,
+    gaussian_weight_map,
+    sliding_window_positions,
+)
 from adipose_tpu.ops.qc import classify_tiles_batch
 
 
@@ -78,6 +84,21 @@ class DualModelWSIPipeline:
             outs.append(np.asarray(fn(jnp.asarray(chunk)))[:n])
         return np.concatenate(outs)
 
+    def _batched_multi(self, fn, arrays: np.ndarray) -> list:
+        """Like :meth:`_batched` for an ``fn`` returning a TUPLE of per-tile
+        outputs — one upload serves several device computations."""
+        outs: list | None = None
+        b = self.batch_size
+        for i in range(0, len(arrays), b):
+            chunk = arrays[i : i + b]
+            n = chunk.shape[0]
+            if n < b:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
+            res = [np.asarray(r)[:n] for r in fn(jnp.asarray(chunk))]
+            outs = [[r] for r in res] if outs is None else [
+                o + [r] for o, r in zip(outs, res)]
+        return [np.concatenate(o) for o in outs]
+
     def run(self, image: np.ndarray) -> PipelineResult:
         t = self.tile_size
         timings = {}
@@ -87,7 +108,8 @@ class DualModelWSIPipeline:
         pad_h, pad_w = max(0, t - h), max(0, t - w)
         if pad_h or pad_w:
             gray = np.pad(gray, ((0, pad_h), (0, pad_w)), mode="reflect")
-        positions = sliding_window_positions(gray.shape, t, self.overlap)
+        positions = np.asarray(
+            sliding_window_positions(gray.shape, t, self.overlap), np.int32)
         # Keep tiles in the source dtype (u8 for real slides): host->device
         # transfers are 4x smaller than f32, and every consumer casts on
         # device where the conversion is free.
@@ -97,43 +119,65 @@ class DualModelWSIPipeline:
         def as_f32(c):
             return c.astype(jnp.float32)
 
-        # QC
+        # QC + classification: ONE upload per chunk feeds both (the
+        # classifier runs on every tile — at ~1k tiles/s that is cheaper
+        # than a second host->device pass over the good subset).
         t0 = time.time()
-        good = self._batched(
-            lambda c: classify_tiles_batch(as_f32(c), *self.qc_args)["is_good"],
-            tiles,
-        ).astype(bool)
-        timings["qc_s"] = time.time() - t0
 
-        # Classification on good tiles
-        t0 = time.time()
-        probs = np.zeros(len(tiles), np.float32)
-        if good.any():
-            probs[good] = self._batched(
-                lambda c: self.classifier_predict(
-                    self.classifier_variables, as_f32(c)),
-                tiles[good],
-            )
+        def qc_and_classify(c):
+            cf = as_f32(c)
+            return (classify_tiles_batch(cf, *self.qc_args)["is_good"],
+                    self.classifier_predict(self.classifier_variables, cf))
+
+        good_probs = self._batched_multi(qc_and_classify, tiles)
+        good = good_probs[0].astype(bool)
+        probs = np.where(good, good_probs[1], 0.0).astype(np.float32)
         positive = good & (probs >= self.classifier_threshold)
-        timings["classify_s"] = time.time() - t0
+        timings["qc_s"] = timings["classify_s"] = (time.time() - t0) / 2
 
-        # Segmentation on positive tiles only
+        # Segmentation on positive tiles only, blended INTO device-resident
+        # canvases chunk by chunk — prediction maps never visit the host
+        # (a 4096² slide round-trips 210 MB otherwise; the tunnel makes
+        # that 3+ s of the old 8.5 s end-to-end).
         t0 = time.time()
-        seg = np.zeros(tiles.shape, np.float32)
+        acc = jnp.zeros(gray.shape, jnp.float32)
+        wsum = jnp.zeros(gray.shape, jnp.float32)
+        b = self.batch_size
+        for i in range(0, len(positions), b):
+            cpos = positions[i : i + b]
+            n = len(cpos)
+            if n < b:
+                cpos = np.concatenate([cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+            wsum = accumulate_weights(
+                wsum, jnp.asarray(cpos, jnp.int32), self.weight_map,
+                jnp.asarray(np.arange(b) < n, jnp.float32))
+        timings["blend_weights_s"] = time.time() - t0
+
+        t0 = time.time()
         if positive.any():
-            seg[positive] = self._batched(
-                lambda c: self.segmenter_predict(self.segmenter_params, as_f32(c)),
-                tiles[positive],
-            )
+            pos_idx = np.flatnonzero(positive)
+            pos_tiles = tiles[pos_idx]
+            pos_yx = positions[pos_idx]
+            for i in range(0, len(pos_idx), b):
+                chunk = pos_tiles[i : i + b]
+                cpos = pos_yx[i : i + b]
+                n = chunk.shape[0]
+                if n < b:
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], b - n, axis=0)])
+                    cpos = np.concatenate(
+                        [cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+                seg_chunk = self.segmenter_predict(
+                    self.segmenter_params, as_f32(jnp.asarray(chunk)))
+                valid = jnp.asarray(np.arange(b) < n, jnp.float32)
+                acc = accumulate_predictions(
+                    acc, seg_chunk, jnp.asarray(cpos, jnp.int32),
+                    self.weight_map, valid)
         timings["segment_s"] = time.time() - t0
 
-        # Blend (padded size, crop back)
         t0 = time.time()
-        full = np.asarray(blend_tiles(
-            jnp.asarray(seg), jnp.asarray(positions, jnp.int32),
-            self.weight_map, gray.shape[0], gray.shape[1],
-        ))[:h, :w]
-        timings["blend_s"] = time.time() - t0
+        full = np.asarray(finalize_blend(acc, wsum))[:h, :w]
+        timings["blend_s"] = time.time() - t0 + timings.pop("blend_weights_s")
 
         return PipelineResult(
             probability_map=full,

@@ -1,0 +1,78 @@
+"""End-to-end WSI pipeline benchmark: synthetic slide through the real
+dual-model cascade (QC -> InceptionV3 gate -> U-Net -> Gaussian blend).
+
+Fills the BASELINE.md "end-to-end WSI seconds" row. Run on TPU, serialized:
+
+    python scripts/bench_wsi.py [slide_px] [overlap]
+
+Note: host->device transfers here ride the axon tunnel (~80 MB/s); on a
+directly-attached TPU host the transfer share shrinks ~100x.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adipose_tpu.core.seeding import key_for
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.models.unet import DilatedUNet
+    from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+    slide_px = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    overlap = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+    print("backend:", jax.devices())
+
+    unet = DilatedUNet(init_nb=44, compute_dtype=jnp.bfloat16)
+    seg_params = unet.init(key_for("bench.init"), jnp.zeros((1, 1024, 1024)))
+    mean, std = jnp.float32(200.99), jnp.float32(25.26)
+
+    @jax.jit
+    def seg_predict(params, tiles):
+        x = (tiles - mean) / (std + 1e-10)
+        return unet.apply(params, x, train=False)
+
+    clf = InceptionV3Classifier(dtype=jnp.bfloat16)
+    clf_vars = clf.init(key_for("bench.clf"), jnp.zeros((1, 299, 299, 3)),
+                        train=False)
+
+    @jax.jit
+    def cls_predict(variables, tiles):
+        # 1024 gray -> 299^2 3ch inception input (reference preprocessing)
+        x = tiles / 127.5 - 1.0
+        x = jax.image.resize(x[..., None], (x.shape[0], 299, 299, 1),
+                             method="bilinear")
+        x = jnp.tile(x, (1, 1, 1, 3))
+        return clf.apply(variables, x, train=False)
+
+    rng = np.random.RandomState(865)
+    slide = (rng.rand(slide_px, slide_px) * 180 + 20).astype(np.uint8)
+
+    pipe = DualModelWSIPipeline(
+        cls_predict, clf_vars, seg_predict, seg_params,
+        tile_size=1024, overlap=overlap, classifier_threshold=0.0,
+    )
+
+    res = pipe.run(slide)  # warmup: compiles every stage
+    t0 = time.perf_counter()
+    res = pipe.run(slide)
+    total = time.perf_counter() - t0
+    out = {
+        "metric": f"wsi_{slide_px}px_end_to_end_s",
+        "value": round(total, 3),
+        "unit": "s",
+        "n_tiles": res.n_tiles,
+        "n_positive": res.n_positive,
+        "tiles_per_sec": round(res.n_tiles / total, 2),
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
