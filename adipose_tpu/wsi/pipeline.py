@@ -61,7 +61,12 @@ class DualModelWSIPipeline:
         white_ratio: float = 0.70,
         blur_threshold: float = 7.5,
         blend_sigma_factor: float = 0.25,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — each QC/classify/segment
+        chunk shards over the mesh 'data' axis, spreading one slide's tile
+        stream across all chips (same spatial data parallelism as
+        :class:`adipose_tpu.eval.sliding_window.SlidingWindowInference`)."""
         self.classifier_predict = classifier_predict
         self.classifier_variables = classifier_variables
         self.segmenter_predict = segmenter_predict
@@ -69,35 +74,42 @@ class DualModelWSIPipeline:
         self.tile_size = tile_size
         self.overlap = overlap
         self.classifier_threshold = classifier_threshold
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape.get("data", 1)
+            batch_size = max(batch_size, n) // n * n  # divisible by data axis
         self.batch_size = batch_size
         self.qc_args = (white_threshold, white_ratio, blur_threshold)
         self.weight_map = gaussian_weight_map(tile_size, blend_sigma_factor)
 
+    def _put(self, chunk: np.ndarray):
+        if self.mesh is None:
+            return jnp.asarray(chunk)
+        import jax
+
+        from adipose_tpu.parallel.mesh import data_sharding
+
+        return jax.device_put(chunk, data_sharding(self.mesh, chunk.ndim))
+
     def _batched(self, fn, arrays: np.ndarray) -> np.ndarray:
-        outs = []
-        b = self.batch_size
-        for i in range(0, len(arrays), b):
-            chunk = arrays[i : i + b]
-            n = chunk.shape[0]
-            if n < b:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
-            outs.append(np.asarray(fn(jnp.asarray(chunk)))[:n])
-        return np.concatenate(outs)
+        return self._batched_multi(lambda c: (fn(c),), arrays)[0]
 
     def _batched_multi(self, fn, arrays: np.ndarray) -> list:
-        """Like :meth:`_batched` for an ``fn`` returning a TUPLE of per-tile
-        outputs — one upload serves several device computations."""
-        outs: list | None = None
+        """Chunked device map for an ``fn`` returning a TUPLE of per-tile
+        outputs — one upload serves several device computations. Results stay
+        on device until ALL chunks are dispatched (no per-chunk host sync),
+        so uploads and compute pipeline."""
+        device_outs: list | None = None
         b = self.batch_size
         for i in range(0, len(arrays), b):
             chunk = arrays[i : i + b]
             n = chunk.shape[0]
             if n < b:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
-            res = [np.asarray(r)[:n] for r in fn(jnp.asarray(chunk))]
-            outs = [[r] for r in res] if outs is None else [
-                o + [r] for o, r in zip(outs, res)]
-        return [np.concatenate(o) for o in outs]
+            res = [r[:n] for r in fn(self._put(chunk))]
+            device_outs = [[r] for r in res] if device_outs is None else [
+                o + [r] for o, r in zip(device_outs, res)]
+        return [np.concatenate([np.asarray(r) for r in o]) for o in device_outs]
 
     def run(self, image: np.ndarray) -> PipelineResult:
         t = self.tile_size
@@ -168,7 +180,7 @@ class DualModelWSIPipeline:
                     cpos = np.concatenate(
                         [cpos, np.repeat(cpos[-1:], b - n, axis=0)])
                 seg_chunk = self.segmenter_predict(
-                    self.segmenter_params, as_f32(jnp.asarray(chunk)))
+                    self.segmenter_params, as_f32(self._put(chunk)))
                 valid = jnp.asarray(np.arange(b) < n, jnp.float32)
                 acc = accumulate_predictions(
                     acc, seg_chunk, jnp.asarray(cpos, jnp.int32),

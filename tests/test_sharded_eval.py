@@ -66,3 +66,26 @@ def test_resume_skips_phase1(tmp_path, rng):
     assert not (run / "phase1_best").exists()
     assert (run / "phase2_best").exists()
     assert np.isnan(result["phase1_best_dice"])
+
+
+def test_sharded_wsi_pipeline_matches_unsharded(rng):
+    from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+    mesh = make_mesh()
+
+    def cls_predict(v, tiles):
+        return jnp.where(jnp.mean(tiles, axis=(1, 2)) > 0, 0.9, 0.1)
+
+    def seg_predict(p, tiles):
+        return jax.nn.sigmoid((tiles - 120.0) / 40.0)
+
+    slide = (rng.rand(96, 160) * 120 + 60).astype(np.uint8)
+    kw = dict(tile_size=32, overlap=0.5, batch_size=8)
+    plain = DualModelWSIPipeline(cls_predict, None, seg_predict, None, **kw)
+    sharded = DualModelWSIPipeline(cls_predict, None, seg_predict, None,
+                                   mesh=mesh, **kw)
+    a = plain.run(slide)
+    b = sharded.run(slide)
+    assert b.n_tiles == a.n_tiles and b.n_positive == a.n_positive
+    assert np.abs(a.probability_map - b.probability_map).max() < 1e-6
+    assert sharded.batch_size % mesh.shape["data"] == 0
