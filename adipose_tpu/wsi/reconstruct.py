@@ -129,6 +129,33 @@ class SlideReconstructor:
             preds.append(np.asarray(self.predict_fn(self.params, jnp.asarray(chunk)))[:n])
         return np.concatenate(preds)
 
+    def _predict_and_blend(self, tiles: np.ndarray, positions: np.ndarray,
+                           shape) -> np.ndarray:
+        """Predict chunks and blend them into device-resident canvases —
+        prediction maps never visit the host (same accumulation order as
+        :func:`blend_tiles`, so the result is bit-identical to
+        ``_blend(_predict_batch(tiles), ...)``)."""
+        from adipose_tpu.ops.blend import (
+            accumulate_predictions, accumulate_weights, finalize_blend)
+
+        h, w = int(shape[0]), int(shape[1])
+        acc = jnp.zeros((h, w), jnp.float32)
+        wsum = jnp.zeros((h, w), jnp.float32)
+        b = self.batch_size
+        for i in range(0, len(tiles), b):
+            chunk = tiles[i : i + b]
+            cpos = positions[i : i + b]
+            n = chunk.shape[0]
+            if n < b:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
+                cpos = np.concatenate([cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+            pred = self.predict_fn(self.params, jnp.asarray(chunk))
+            valid = jnp.asarray(np.arange(b) < n, jnp.float32)
+            cpos_d = jnp.asarray(cpos, jnp.int32)
+            acc = accumulate_predictions(acc, pred, cpos_d, self.weight_map, valid)
+            wsum = accumulate_weights(wsum, cpos_d, self.weight_map, valid)
+        return np.asarray(finalize_blend(acc, wsum))
+
     def _blend(self, tiles: np.ndarray, positions: np.ndarray, shape):
         h, w = int(shape[0]), int(shape[1])
         if not self.stripe_tiles:
@@ -186,11 +213,13 @@ class SlideReconstructor:
         tiles = np.stack(imgs)
         positions = np.asarray(positions, np.int32)
 
-        preds = self._predict_batch(tiles)
-        if self.refiner is not None:
-            preds = np.stack([self.refiner.refine(p) for p in preds])
-
-        pred_full = self._blend(preds, positions, full_shape)
+        if self.refiner is None and not self.stripe_tiles:
+            pred_full = self._predict_and_blend(tiles, positions, full_shape)
+        else:  # host refinement / striped canvases need the maps on host
+            preds = self._predict_batch(tiles)
+            if self.refiner is not None:
+                preds = np.stack([self.refiner.refine(p) for p in preds])
+            pred_full = self._blend(preds, positions, full_shape)
         img_full = self._blend(tiles, positions, full_shape)
         gt_full = None
         if all(g is not None for g in gts):

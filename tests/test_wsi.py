@@ -226,3 +226,21 @@ class TestDualModelPipeline:
         assert (tmp_path / "out" / "slide_mask.png").exists()
         log = json.loads((tmp_path / "out" / "slide_pipeline_log.json").read_text())
         assert log["n_tiles"] == 4
+
+
+def test_reconstruct_fused_blend_matches_legacy(rng):
+    """Device-fused predict+blend must be bit-identical to the two-pass path."""
+    import jax
+
+    from adipose_tpu.wsi.reconstruct import SlideReconstructor
+
+    def predict(p, tiles):
+        return jax.nn.sigmoid((tiles - 100.0) / 50.0)
+
+    rec = SlideReconstructor(predict, None, tile_size=32, stride=16, batch_size=4)
+    tiles = (rng.rand(11, 32, 32) * 200).astype(np.float32)
+    positions = np.asarray(
+        [(r * 16, c * 16) for r in range(3) for c in range(4)][:11], np.int32)
+    fused = rec._predict_and_blend(tiles, positions, (64, 80))
+    legacy = rec._blend(rec._predict_batch(tiles), positions, (64, 80))
+    assert np.abs(fused - legacy).max() == 0.0
