@@ -59,13 +59,17 @@ def main():
     )
 
     res = pipe.run(slide)  # warmup: compiles every stage
-    t0 = time.perf_counter()
-    res = pipe.run(slide)
-    total = time.perf_counter() - t0
+    totals = []
+    for _ in range(3):  # tunnel transfer throughput swings 2-8x run to run
+        t0 = time.perf_counter()
+        res = pipe.run(slide)
+        totals.append(time.perf_counter() - t0)
+    total = sorted(totals)[1]
     out = {
         "metric": f"wsi_{slide_px}px_end_to_end_s",
         "value": round(total, 3),
-        "unit": "s",
+        "unit": "s (median of 3)",
+        "all_runs_s": [round(t, 3) for t in totals],
         "n_tiles": res.n_tiles,
         "n_positive": res.n_positive,
         "tiles_per_sec": round(res.n_tiles / total, 2),
