@@ -53,3 +53,35 @@ def test_spatial_max_pool_matches_global(mesh, rng):
     want = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     assert np.abs(np.asarray(got) - np.asarray(want)).max() == 0.0
+
+
+class TestSpatialUNet:
+    """Full-model context parallelism == single-device model.apply."""
+
+    def _params_and_input(self, rng, dtype):
+        from adipose_tpu.core.seeding import key_for
+        from adipose_tpu.models.unet import DilatedUNet
+
+        model = DilatedUNet(init_nb=4, compute_dtype=dtype)
+        x = jnp.asarray(rng.rand(2, 128, 64).astype(np.float32))
+        params = model.init(key_for("spatial.test"), x)
+        return model, params, x
+
+    def test_matches_model_apply_f32(self, mesh, rng):
+        from adipose_tpu.parallel.spatial_unet import spatial_unet_predict
+
+        model, params, x = self._params_and_input(rng, jnp.float32)
+        want = model.apply(params, x, train=False)
+        got = spatial_unet_predict(params, x, mesh, compute_dtype=jnp.float32)
+        assert got.shape == want.shape
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 1e-5
+
+    def test_matches_model_apply_bf16(self, mesh, rng):
+        from adipose_tpu.parallel.spatial_unet import spatial_unet_predict
+
+        model, params, x = self._params_and_input(rng, jnp.bfloat16)
+        want = model.apply(params, x, train=False)
+        got = spatial_unet_predict(params, x, mesh)
+        # bf16 rounding differs only through reduction-order changes at the
+        # gather/slice boundaries; outputs are probabilities in [0,1]
+        assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-3
