@@ -43,6 +43,17 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def fused_upsample_kernel(k):
+    """4×4 lhs-dilated kernel equivalent to nearest-×2 upsample + 3×3 conv:
+    K'[a,b] = Σ_{i∈{a−1,a}, j∈{b−1,b}} K[i,j] (see FusedUpsampleConv)."""
+    return (
+        jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        + jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        + jnp.pad(k, ((0, 1), (1, 0), (0, 0), (0, 0)))
+        + jnp.pad(k, ((1, 0), (0, 1), (0, 0), (0, 0)))
+    )
+
+
 def _scatter_kernel_blocks(kernel, in_blocks, cout_pad: int):
     """Zero-pad a conv kernel for MXU-lane-aligned activations.
 
@@ -149,12 +160,7 @@ class FusedUpsampleConv(nn.Module):
         if cout_pad > self.features:
             k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, cout_pad - self.features)))
             bias_p = jnp.pad(bias, (0, cout_pad - self.features))
-        kp = (
-            jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
-            + jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
-            + jnp.pad(k, ((0, 1), (1, 0), (0, 0), (0, 0)))
-            + jnp.pad(k, ((1, 0), (0, 1), (0, 0), (0, 0)))
-        )
+        kp = fused_upsample_kernel(k)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kp.astype(self.dtype),
             window_strides=(1, 1), padding=[(2, 2), (2, 2)],

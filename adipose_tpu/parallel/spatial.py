@@ -43,6 +43,9 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     """
     n = jax.lax.axis_size(axis_name)
     idx = _axis_index(axis_name)
+    assert x.shape[1] >= halo, (
+        f"shard-local H ({x.shape[1]}) must be >= halo ({halo}): one "
+        "ppermute hop only reaches the adjacent shard")
     top_rows = x[:, :halo]      # my first rows -> successor's top halo source
     bot_rows = x[:, -halo:]     # my last rows  -> predecessor's bottom halo
 
@@ -62,7 +65,7 @@ def halo_exchange(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
     return jnp.concatenate([from_prev, x, from_next], axis=1)
 
 
-def _conv_local(x, kernel, h_halo: int, dilation):
+def _conv_local(x, kernel, dilation):
     """SAME-on-W, VALID-on-(haloed-)H convolution of one NHWC slab."""
     kw = kernel.shape[1]
     dw = dilation[1]
@@ -89,7 +92,7 @@ def spatial_conv2d(
     kh = kernel.shape[0]
     halo = dilation[0] * (kh // 2)
     xp = halo_exchange(x, halo, axis_name) if halo else x
-    return _conv_local(xp, kernel, halo, tuple(dilation))
+    return _conv_local(xp, kernel, tuple(dilation))
 
 
 def spatial_max_pool2(x: jax.Array) -> jax.Array:

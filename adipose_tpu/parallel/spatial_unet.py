@@ -29,18 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from adipose_tpu.models.unet import fused_upsample_kernel
 from adipose_tpu.parallel.spatial import halo_exchange, spatial_max_pool2
-
-
-def _fused_up_kernel(k):
-    """FusedUpsampleConv's 4×4 lhs-dilated kernel from the stored 3×3
-    (models/unet.py FusedUpsampleConv)."""
-    return (
-        jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
-        + jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        + jnp.pad(k, ((0, 1), (1, 0), (0, 0), (0, 0)))
-        + jnp.pad(k, ((1, 0), (0, 1), (0, 0), (0, 0)))
-    )
 
 
 def _conv(x, kb, dilation=(1, 1), h_pad="none"):
@@ -64,7 +54,7 @@ def _upconv(x, kb, h_pad="same"):
     padding exactly (out rows = 2·local rows).
     """
     k, b = kb
-    kp = _fused_up_kernel(k)
+    kp = fused_upsample_kernel(k)
     ph = (2, 2) if h_pad == "same" else (0, 0)
     y = jax.lax.conv_general_dilated(
         x, kp, (1, 1), [ph, (2, 2)], lhs_dilation=(2, 2),

@@ -35,6 +35,7 @@ from adipose_tpu.ops.blend import (
     sliding_window_positions,
 )
 from adipose_tpu.ops.qc import classify_tiles_batch
+from adipose_tpu.parallel.mesh import pad_batch_to
 
 
 @dataclass
@@ -77,7 +78,7 @@ class DualModelWSIPipeline:
         self.mesh = mesh
         if mesh is not None:
             n = mesh.shape.get("data", 1)
-            batch_size = max(batch_size, n) // n * n  # divisible by data axis
+            batch_size = -(-batch_size // n) * n  # round UP to the data axis
         self.batch_size = batch_size
         self.qc_args = (white_threshold, white_ratio, blur_threshold)
         self.weight_map = gaussian_weight_map(tile_size, blend_sigma_factor)
@@ -102,10 +103,7 @@ class DualModelWSIPipeline:
         device_outs: list | None = None
         b = self.batch_size
         for i in range(0, len(arrays), b):
-            chunk = arrays[i : i + b]
-            n = chunk.shape[0]
-            if n < b:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
+            (chunk,), n = pad_batch_to(b, arrays[i : i + b])
             res = [r[:n] for r in fn(self._put(chunk))]
             device_outs = [[r] for r in res] if device_outs is None else [
                 o + [r] for o, r in zip(device_outs, res)]
@@ -145,7 +143,7 @@ class DualModelWSIPipeline:
         good = good_probs[0].astype(bool)
         probs = np.where(good, good_probs[1], 0.0).astype(np.float32)
         positive = good & (probs >= self.classifier_threshold)
-        timings["qc_s"] = timings["classify_s"] = (time.time() - t0) / 2
+        timings["qc_classify_s"] = time.time() - t0
 
         # Segmentation on positive tiles only, blended INTO device-resident
         # canvases chunk by chunk — prediction maps never visit the host
@@ -156,10 +154,7 @@ class DualModelWSIPipeline:
         wsum = jnp.zeros(gray.shape, jnp.float32)
         b = self.batch_size
         for i in range(0, len(positions), b):
-            cpos = positions[i : i + b]
-            n = len(cpos)
-            if n < b:
-                cpos = np.concatenate([cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+            (cpos,), n = pad_batch_to(b, positions[i : i + b])
             wsum = accumulate_weights(
                 wsum, jnp.asarray(cpos, jnp.int32), self.weight_map,
                 jnp.asarray(np.arange(b) < n, jnp.float32))
@@ -171,20 +166,17 @@ class DualModelWSIPipeline:
             pos_tiles = tiles[pos_idx]
             pos_yx = positions[pos_idx]
             for i in range(0, len(pos_idx), b):
-                chunk = pos_tiles[i : i + b]
-                cpos = pos_yx[i : i + b]
-                n = chunk.shape[0]
-                if n < b:
-                    chunk = np.concatenate(
-                        [chunk, np.repeat(chunk[-1:], b - n, axis=0)])
-                    cpos = np.concatenate(
-                        [cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+                (chunk, cpos), n = pad_batch_to(
+                    b, pos_tiles[i : i + b], pos_yx[i : i + b])
                 seg_chunk = self.segmenter_predict(
                     self.segmenter_params, as_f32(self._put(chunk)))
                 valid = jnp.asarray(np.arange(b) < n, jnp.float32)
                 acc = accumulate_predictions(
                     acc, seg_chunk, jnp.asarray(cpos, jnp.int32),
                     self.weight_map, valid)
+        # dispatch is async: block here so segment_s measures segmentation,
+        # not the later finalize sync
+        acc.block_until_ready()
         timings["segment_s"] = time.time() - t0
 
         t0 = time.time()

@@ -142,13 +142,11 @@ class SlideReconstructor:
         acc = jnp.zeros((h, w), jnp.float32)
         wsum = jnp.zeros((h, w), jnp.float32)
         b = self.batch_size
+        from adipose_tpu.parallel.mesh import pad_batch_to
+
         for i in range(0, len(tiles), b):
-            chunk = tiles[i : i + b]
-            cpos = positions[i : i + b]
-            n = chunk.shape[0]
-            if n < b:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], b - n, axis=0)])
-                cpos = np.concatenate([cpos, np.repeat(cpos[-1:], b - n, axis=0)])
+            (chunk, cpos), n = pad_batch_to(
+                b, tiles[i : i + b], positions[i : i + b])
             pred = self.predict_fn(self.params, jnp.asarray(chunk))
             valid = jnp.asarray(np.arange(b) < n, jnp.float32)
             cpos_d = jnp.asarray(cpos, jnp.int32)
