@@ -18,6 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.ops.d4 import MODE_IDS, apply_transform, invert_transform
 
 
@@ -31,7 +32,7 @@ def make_tta_predict(predict_fn, mode: str = "basic"):
     ids_arr = jnp.asarray(ids, jnp.int32)
     n = len(ids)
 
-    @jax.jit
+    @infer_jit
     def tta_predict(params, images):
         b, h, w = images.shape
 
@@ -63,7 +64,7 @@ def make_classifier_tta_predict(predict_fn, mode: str = "full", logit_space: boo
     ids_arr = jnp.asarray(ids, jnp.int32)
     n = len(ids)
 
-    @jax.jit
+    @infer_jit
     def tta_predict(variables, images):
         b = images.shape[0]
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.ops import losses as L
 
 
@@ -174,7 +175,7 @@ def make_unet_train_step(model, loss_fn):
 
 
 def make_unet_eval_step(model, loss_fn):
-    @jax.jit
+    @infer_jit
     def step(params, images, masks):
         out = model.apply(params, images, train=False)
         main = out["main_out"] if isinstance(out, dict) else out
@@ -187,7 +188,7 @@ def make_unet_eval_step(model, loss_fn):
 
 
 def make_unet_predict(model):
-    @jax.jit
+    @infer_jit
     def predict(params, images):
         out = model.apply(params, images, train=False)
         return out["main_out"] if isinstance(out, dict) else out
@@ -233,7 +234,7 @@ def make_classifier_train_step(model, label_smoothing: float = 0.1,
 
 
 def make_classifier_predict(model):
-    @jax.jit
+    @infer_jit
     def predict(params, batch_stats, images):
         return model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False

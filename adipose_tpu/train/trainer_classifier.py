@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adipose_tpu.core.config import ClassifierConfig, TrainConfig
+from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.core.seeding import key_for
 from adipose_tpu.data.augment import augment_grayscale_classification
 from adipose_tpu.data.loader import ClassificationDataset
@@ -125,7 +126,7 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
 
 
 def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
-    @jax.jit
+    @infer_jit
     def step(params, batch_stats, images_u8):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adipose_tpu.core.config import TrainConfig, UNetConfig
+from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.core.seeding import key_for
 from adipose_tpu.data.augment import TIERS, augment_batch
 from adipose_tpu.data.loader import TileDataset
@@ -117,7 +118,7 @@ def _looks_like_compile_oom(err: BaseException) -> bool:
 
 
 def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float):
-    @jax.jit
+    @infer_jit
     def step(params, images_u8, masks_u8, mean, std):
         images = images_u8.astype(jnp.float32)
         masks = masks_u8.astype(jnp.float32)

@@ -34,6 +34,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from adipose_tpu.core.jitopts import infer_jit
     from adipose_tpu.core.seeding import key_for
     from adipose_tpu.models.unet import DilatedUNet
 
@@ -42,7 +43,7 @@ def main() -> None:
 
     mean, std = jnp.float32(200.99), jnp.float32(25.26)
 
-    @jax.jit
+    @infer_jit  # 32 MiB scoped VMEM: 88.7 -> 93.1 tiles/s (core/jitopts.py)
     def predict(params, tiles_u8):
         x = (tiles_u8.astype(jnp.float32) - mean) / (std + 1e-10)
         return model.apply(params, x, train=False)

@@ -327,3 +327,55 @@ class TestStats:
 
     def test_empty_fallback(self):
         assert stats.compute_mean_std([]) == (127.5, 50.0)
+
+
+class TestMontage:
+    def test_matches_reference_loop_oracle(self, rng):
+        """Vectorized montage == the reference's per-cell placement loop
+        (isbi_utils.py:20-26) with the same RNG shuffle."""
+        from adipose_tpu.data.montage import montage_pairs
+
+        n, h, w, rows, cols = 7, 8, 6, 2, 3
+        imgs = (rng.rand(n, h, w) * 255).astype(np.uint8)
+        msks = (rng.rand(n, h, w) > 0.5).astype(np.uint8) * 255
+
+        got_i, got_m = montage_pairs(imgs, msks, rows, cols,
+                                     np.random.RandomState(865))
+
+        idxs = np.arange(n)
+        np.random.RandomState(865).shuffle(idxs)
+        it = iter(idxs)
+        want_i = np.empty((rows * h, cols * w), np.float32)
+        want_m = np.empty((rows * h, cols * w), np.int8)
+        for y0 in range(0, rows * h, h):
+            for x0 in range(0, cols * w, w):
+                k = next(it)
+                want_i[y0:y0 + h, x0:x0 + w] = imgs[k]
+                want_m[y0:y0 + h, x0:x0 + w] = msks[k] / 255
+        assert got_i.dtype == np.float32 and got_m.dtype == np.int8
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_array_equal(got_m, want_m)
+
+    def test_file_roundtrip_multipage_tiff(self, tmp_path, rng):
+        from PIL import Image
+
+        from adipose_tpu.data.montage import isbi_get_data_montage
+
+        imgs = (rng.rand(4, 8, 8) * 255).astype(np.uint8)
+        msks = (rng.rand(4, 8, 8) > 0.5).astype(np.uint8) * 255
+        ip, mp = tmp_path / "imgs.tif", tmp_path / "msks.tif"
+        for path, stack in ((ip, imgs), (mp, msks)):
+            frames = [Image.fromarray(s) for s in stack]
+            frames[0].save(path, save_all=True, append_images=frames[1:])
+
+        mi, mm = isbi_get_data_montage(ip, mp, 2, 2,
+                                       np.random.RandomState(0))
+        assert mi.shape == (16, 16) and mm.shape == (16, 16)
+        assert set(np.unique(mm)) <= {0, 1}
+
+    def test_too_few_pages_raises(self, rng):
+        from adipose_tpu.data.montage import montage_pairs
+
+        with pytest.raises(ValueError):
+            montage_pairs(np.zeros((3, 4, 4)), np.zeros((3, 4, 4)), 2, 2,
+                          np.random.RandomState(0))

@@ -61,3 +61,22 @@ def test_auto_resume_continues_phase(tmp_path, rng):
     meta = json.loads((run / "latest_state.json").read_text())
     assert meta["phase"] == 2 and meta["epoch"] == 2
     assert result["phase2_best_dice"] >= 0.0
+
+
+def test_infer_jit_cpu_fallback():
+    """infer_jit drops TPU-only compiler options off-TPU and passes jit kwargs."""
+    import jax.numpy as jnp
+
+    from adipose_tpu.core.jitopts import infer_jit
+
+    @infer_jit
+    def f(x):
+        return x * 2
+
+    assert float(f(jnp.float32(3.0))) == 6.0
+
+    def g(x, n):
+        return x + n
+
+    g2 = infer_jit(g, static_argnames=("n",))
+    assert float(g2(jnp.float32(1.0), n=2)) == 3.0
