@@ -1,14 +1,17 @@
-"""TPU compiler options for inference jits.
+"""TPU compiler options for the hot jitted programs.
 
 XLA's conv emitter sizes its fusions against a scoped-VMEM budget whose
 default (~16 MiB) is conservative for the 1024² conv shapes in this model.
-Raising it to 32 MiB measured 88.7 → 93.1 tiles/s on the flagship forward
-(v5e, batch 16; 64 MiB gives 93.5 — diminishing) with outputs differing only
-in bf16 fusion-rounding (max |Δp| ≈ 2e-3, inside the noise band the project
-accepts model-wide — see DiffSigmoidHead docstring).
+All numbers below from v5e runs of ``scripts/exp_train_vmem.py`` and
+``bench.py``; outputs differ only in bf16 fusion-rounding (max |Δp| ≈ 2e-3,
+inside the noise band the project accepts model-wide — see DiffSigmoidHead
+docstring).
 
-Applied to INFERENCE jits only: training programs are HBM/VMEM-tight
-(BASELINE.md b4/b8 rows) and keep the default budget.
+* Inference (batch 16 forward): 32 MiB measured 88.7 → 93.1 tiles/s
+  (64 MiB: 93.5 — diminishing).
+* Training (batch 8 fused step): NON-monotonic — 32 MiB loses (14.85 →
+  13.33 tiles/s) but 48 MiB wins (15.39; 64 MiB 15.17–15.33; repeats within
+  ±0.1). Training uses its own 48 MiB budget via :func:`train_jit`.
 """
 
 from __future__ import annotations
@@ -16,21 +19,32 @@ from __future__ import annotations
 import jax
 
 TPU_INFER_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+TPU_TRAIN_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
-def infer_jit(fun=None, **jit_kwargs):
-    """``jax.jit`` with the measured-faster TPU inference compiler options.
+def _options_jit(options):
+    def jit_like(fun=None, **jit_kwargs):
+        def wrap(f):
+            kw = dict(jit_kwargs)
+            if jax.default_backend() == "tpu":
+                opts = dict(options)
+                opts.update(kw.pop("compiler_options", {}) or {})
+                kw["compiler_options"] = opts
+            return jax.jit(f, **kw)
 
-    On non-TPU backends the options are dropped (other compilers reject the
-    unknown flag). Usable as ``infer_jit(f)`` or ``@infer_jit`` or with jit
-    kwargs: ``infer_jit(f, static_argnames=...)``.
-    """
-    def wrap(f):
-        kw = dict(jit_kwargs)
-        if jax.default_backend() == "tpu":
-            opts = dict(TPU_INFER_COMPILER_OPTIONS)
-            opts.update(kw.pop("compiler_options", {}) or {})
-            kw["compiler_options"] = opts
-        return jax.jit(f, **kw)
+        return wrap(fun) if fun is not None else wrap
 
-    return wrap(fun) if fun is not None else wrap
+    return jit_like
+
+
+#: ``jax.jit`` with the measured-faster TPU compiler options for forward-only
+#: programs. On non-TPU backends the options are dropped (other compilers
+#: reject the unknown flag). Usable as ``infer_jit(f)`` or ``@infer_jit`` or
+#: with jit kwargs: ``infer_jit(f, static_argnames=...)``.
+infer_jit = _options_jit(TPU_INFER_COMPILER_OPTIONS)
+
+#: Same, with the training-tuned scoped-VMEM budget (48 MiB). The trainers'
+#: compile-OOM retry ladder (trainer_unet.py) still applies on top: a batch
+#: size whose program can't compile under this budget surfaces as a vmem/hbm
+#: compile error and falls back to remat exactly as before.
+train_jit = _options_jit(TPU_TRAIN_COMPILER_OPTIONS)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from adipose_tpu.core.jitopts import infer_jit
+from adipose_tpu.core.jitopts import infer_jit, train_jit
 from adipose_tpu.ops import losses as L
 
 
@@ -155,7 +155,7 @@ def make_unet_train_step(model, loss_fn):
     images: (B, H, W) normalized float32; masks: (B, H, W) {0,1}.
     """
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(train_jit, donate_argnums=(0,))
     def step(state: TrainState, images, masks, rng):
         def compute(params):
             out = model.apply(params, images, train=True, rngs={"dropout": rng})
@@ -205,6 +205,9 @@ def make_classifier_train_step(model, label_smoothing: float = 0.1,
     un-updated when ``stats_mask`` marks them frozen (Keras freeze semantics:
     a frozen BN layer runs in inference mode)."""
 
+    # Default scoped-VMEM budget: the U-Net train_jit 48 MiB budget measured
+    # neutral-to-negative on the 299² InceptionV3 program (1151 vs 1151-1165
+    # imgs/s, scripts/bench_classifier_train.py).
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images, labels, rng):
         def compute(params):

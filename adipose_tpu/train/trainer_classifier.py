@@ -79,6 +79,9 @@ def compute_image_level_class_weights(
 
 def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
                      p_low: float, p_high: float, stats_mask):
+    # NOTE: stays at the default scoped-VMEM budget — the 48 MiB train_jit
+    # budget that buys the 1024² U-Net step +3.5% measured 1151 vs 1165
+    # imgs/s on this 299² program (scripts/bench_classifier_train.py).
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, images_u8, labels, class_w, rng):
         imgs = images_u8.astype(jnp.float32)

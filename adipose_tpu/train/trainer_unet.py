@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adipose_tpu.core.config import TrainConfig, UNetConfig
-from adipose_tpu.core.jitopts import infer_jit
+from adipose_tpu.core.jitopts import infer_jit, train_jit
 from adipose_tpu.core.seeding import key_for
 from adipose_tpu.data.augment import TIERS, augment_batch
 from adipose_tpu.data.loader import TileDataset
@@ -70,7 +70,7 @@ def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
     """Normalize + train in one jitted program (augment runs as a separate
     device program first — see :func:`make_augment_step`)."""
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("augment",),)
+    @partial(train_jit, donate_argnums=(0,), static_argnames=("augment",))
     def step(state: TrainState, images_u8, masks_u8, rng, mean, std, augment=False):
         images = images_u8.astype(jnp.float32)
         masks = masks_u8.astype(jnp.float32)

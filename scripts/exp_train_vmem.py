@@ -6,7 +6,8 @@ remat-compression copies, BASELINE.md) — a bigger fusion budget could either
 shrink those copies or blow the tighter training memory envelope. Measure,
 don't guess.
 
-Usage: python scripts/exp_train_vmem.py [batch]   (TPU, serialized)
+Usage: python scripts/exp_train_vmem.py [batch] [budget_kib...]
+       (TPU, serialized; budget 0 = compiler default; repeats allowed)
 """
 import sys
 import time
@@ -42,7 +43,9 @@ def main():
     key = key_for("train.step")
     mean, std = jnp.float32(200.99), jnp.float32(25.26)
 
-    for kib in [None, 32768, 65536]:
+    budgets = ([None if int(a) == 0 else int(a) for a in sys.argv[2:]]
+               or [None, 32768, 65536])
+    for kib in budgets:
         opts = None if kib is None else {
             "xla_tpu_scoped_vmem_limit_kib": str(kib)}
         step = jax.jit(fn, donate_argnums=(0,),
@@ -61,7 +64,7 @@ def main():
             state, metrics = step(state, imgs, masks, key, mean, std)
             _ = float(metrics["loss"])
             compile_s = time.perf_counter() - t0
-            iters = max(4, 32 // batch)
+            iters = max(4, 96 // batch)
             t0 = time.perf_counter()
             for _ in range(iters):
                 state, metrics = step(state, imgs, masks, key, mean, std)
