@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-name", default="adipose_sybreosin")
     t.add_argument("--checkpoint-root", default="checkpoints/segmentation")
     t.add_argument("--num-devices", type=int, default=0)
+    t.add_argument("--shard-spatial", action="store_true",
+                   help="shard image rows over leftover devices when the "
+                        "batch is smaller than the device count")
 
     tc = sub.add_parser("train-classifier", help="two-phase InceptionV3 classifier")
     tc.add_argument("--dataset-root", required=True)
@@ -381,6 +384,7 @@ def cmd_train_unet(args):
         augment_level=args.augment_level,
         normalization_method=args.normalization_method,
         num_devices=args.num_devices,
+        shard_spatial=args.shard_spatial,
     )
     mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
     trainer = UNetTrainer(data_root, cfg, mcfg,

@@ -117,6 +117,11 @@ class TrainConfig(_JsonMixin):
     early_stopping_patience: int = 15
     # Mesh
     num_devices: int = 0  # 0 = all available
+    # Spatial (H) sharding over leftover devices when the batch is smaller
+    # than the device count (SURVEY.md §7 'batch-2 on 8 chips'): batch 2 on
+    # 8 chips trains on a (data=2, model=4) mesh with each image's rows
+    # split 4-ways; GSPMD inserts the conv halo exchanges.
+    shard_spatial: bool = False
     seed: int = 865
 
 

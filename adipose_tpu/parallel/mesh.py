@@ -54,9 +54,48 @@ def make_mesh_for_batch(batch_size: int, num_devices: int = 0) -> Mesh:
     return make_mesh(n)
 
 
+def make_mesh_spatial(batch_size: int, num_devices: int = 0,
+                      image_h: int = 1024) -> Mesh:
+    """Mesh that uses ALL devices for small batches: leftover devices shard H.
+
+    ``make_mesh_for_batch`` leaves devices idle when the batch doesn't divide
+    (batch 2 on 8 chips → 2 used). Here the remaining devices go on the
+    'model' axis and the images' H dimension shards over it — XLA/GSPMD
+    inserts the conv halo exchanges (forward AND backward) automatically, the
+    spatial-parallel answer to SURVEY.md §7 'batch-2 training on 8 chips'.
+    The model axis is kept a power of two that divides ``image_h`` so every
+    level of the conv pyramid splits evenly.
+    """
+    devices = jax.devices()
+    limit = num_devices if num_devices and num_devices > 0 else len(devices)
+    limit = min(limit, len(devices))
+    n_data = max(d for d in range(1, limit + 1) if batch_size % d == 0)
+    n_model = limit // n_data
+    while n_model > 1 and (image_h % n_model or (n_model & (n_model - 1))):
+        n_model -= 1
+    return make_mesh(n_data * n_model, model_axis=n_model)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard axis 0 over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def spatial_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard axis 0 over 'data' and axis 1 (image H) over 'model'."""
+    if ndim < 2:
+        return data_sharding(mesh, ndim)
+    return NamedSharding(mesh, P("data", "model", *([None] * (ndim - 2))))
+
+
+def shard_batch_spatial(mesh: Mesh, batch):
+    """Place a host batch on the mesh with (batch, H) sharded over
+    ('data', 'model'). H must divide by the model-axis size
+    (``make_mesh_spatial`` guarantees it for the standard tile sizes)."""
+    def put(x):
+        return jax.device_put(x, spatial_sharding(mesh, np.ndim(x)))
+
+    return jax.tree.map(put, batch)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -32,7 +32,13 @@ from adipose_tpu.data.loader import TileDataset
 from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
 from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
 from adipose_tpu.ops.normalize import batched_percentile_unit
-from adipose_tpu.parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from adipose_tpu.parallel.mesh import (
+    make_mesh_for_batch,
+    make_mesh_spatial,
+    replicate,
+    shard_batch,
+    shard_batch_spatial,
+)
 from adipose_tpu.train import checkpoint as ckpt
 from adipose_tpu.train.ema import EmaTracker
 from adipose_tpu.train.schedules import EarlyStopping, ReduceLROnPlateau, cosine_with_warmup
@@ -148,7 +154,15 @@ class UNetTrainer:
         self.cfg = cfg or TrainConfig()
         self.model_cfg = model_cfg or UNetConfig()
         self.data_root = Path(data_root)
-        self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
+        if self.cfg.shard_spatial:
+            self.mesh = make_mesh_spatial(
+                self.cfg.batch_size, self.cfg.num_devices,
+                (model_cfg or UNetConfig()).tile_size,
+            )
+            self._shard = shard_batch_spatial
+        else:
+            self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
+            self._shard = shard_batch
         self.ckpt_dir = ckpt.checkpoint_dir_for(
             checkpoint_name, build_timestamp, checkpoint_root
         )
@@ -273,7 +287,7 @@ class UNetTrainer:
             for b, (imgs, masks) in enumerate(self.train_data.epoch_batches(epoch)):
                 rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
                 aug_key, step_key = jax.random.split(rng)
-                imgs, masks = shard_batch(self.mesh, (imgs, masks))
+                imgs, masks = self._shard(self.mesh, (imgs, masks))
                 imgs, masks = augment_step(aug_key, imgs, masks)
                 try:
                     state, m = train_step(state, imgs, masks, step_key, mean, std)
@@ -313,7 +327,7 @@ class UNetTrainer:
                 train_metrics.append(m)
             val_metrics = []
             for imgs, masks in self.val_data.epoch_batches(epoch, shuffle=False):
-                imgs, masks = shard_batch(self.mesh, (imgs, masks))
+                imgs, masks = self._shard(self.mesh, (imgs, masks))
                 val_metrics.append(val_step(state.params, imgs, masks, mean, std))
 
             tm = {k: float(np.mean([float(x[k]) for x in train_metrics])) for k in train_metrics[0]}
