@@ -230,6 +230,12 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--skip-build", action="store_true")
     rp.add_argument("--use-tta", action="store_true")
     rp.add_argument("--min-train-tiles", type=int, default=10)
+    rp.add_argument("--tile-size", type=int, default=1024)
+    rp.add_argument("--stride", type=int, default=None,
+                    help="build stride (default: tile size)")
+    rp.add_argument("--init-nb", type=int, default=44)
+    rp.add_argument("--val-ratio", type=float, default=0.15)
+    rp.add_argument("--test-ratio", type=float, default=0.15)
 
     pl = sub.add_parser("pipeline", help="end-to-end dual-model WSI pipeline")
     pl.add_argument("--wsi", required=True)
@@ -500,8 +506,13 @@ def _load_segmenter(weights, use_ema=False):
     weights_path = ckpt.resolve_weights_path(weights, use_ema)
     ckpt_dir = weights_path.parent
     mean, std = ckpt.load_normalization_stats(ckpt_dir)
-    use_ds = ckpt.detect_deep_supervision(ckpt_dir)
-    model = DilatedUNet(use_deep_supervision=use_ds, compute_dtype=jnp.bfloat16)
+    mcfg = ckpt.detect_model_config(ckpt_dir)
+    model = DilatedUNet(
+        init_nb=mcfg.init_nb,
+        use_deep_supervision=mcfg.use_deep_supervision,
+        dilation_rates=tuple(mcfg.dilation_rates),
+        compute_dtype=jnp.bfloat16,
+    )
     params = ckpt.load_params(weights_path)
     base = make_unet_predict(model)
 
@@ -722,8 +733,12 @@ def cmd_run_pipeline(args):
         )
     else:
         t0 = time.time()
+        build_cfg = DataBuildConfig(
+            tile_size=args.tile_size, stride=args.stride or args.tile_size,
+            val_fraction=args.val_ratio, test_fraction=args.test_ratio,
+        )
         build_root = SegmentationDatasetBuilder(
-            DataBuildConfig(), out_parent=data_root
+            build_cfg, out_parent=data_root
         ).build(data_root)
         timings["build_s"] = time.time() - t0
 
@@ -735,7 +750,12 @@ def cmd_run_pipeline(args):
         )
 
     t0 = time.time()
-    trainer = UNetTrainer(build_root, TrainConfig(batch_size=args.batch_size))
+    from adipose_tpu.core.config import UNetConfig
+
+    trainer = UNetTrainer(
+        build_root, TrainConfig(batch_size=args.batch_size),
+        UNetConfig(tile_size=args.tile_size, init_nb=args.init_nb),
+    )
     train_result = trainer.train(args.epochs_phase1, args.epochs_phase2)
     timings["train_s"] = time.time() - t0
     ckpt_dir = train_result["checkpoint_dir"]

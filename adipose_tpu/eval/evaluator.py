@@ -129,12 +129,12 @@ class PublicationEvaluator:
         weights_path = ckpt.resolve_weights_path(weights, self.cfg.use_ema_weights)
         self.checkpoint_dir = weights_path.parent
         self.mean, self.std = ckpt.load_normalization_stats(self.checkpoint_dir)
-        use_ds = ckpt.detect_deep_supervision(self.checkpoint_dir)
-        self.model_cfg = model_cfg or UNetConfig(use_deep_supervision=use_ds)
+        self.model_cfg = model_cfg or ckpt.detect_model_config(self.checkpoint_dir)
         self.model = DilatedUNet(
             init_nb=self.model_cfg.init_nb,
             dropout_rate=self.model_cfg.dropout_rate,
             use_deep_supervision=self.model_cfg.use_deep_supervision,
+            dilation_rates=tuple(self.model_cfg.dilation_rates),
             compute_dtype=jnp.bfloat16
             if self.model_cfg.compute_dtype == "bfloat16"
             else jnp.float32,

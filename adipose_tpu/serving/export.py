@@ -49,8 +49,13 @@ def export_model(
             mean, std = ckpt.load_normalization_stats(ckpt_dir)
         except FileNotFoundError:
             mean, std = 200.99, 25.26
-        use_ds = ckpt.detect_deep_supervision(ckpt_dir)
-        model = DilatedUNet(use_deep_supervision=use_ds, compute_dtype=jnp.bfloat16)
+        mcfg = ckpt.detect_model_config(ckpt_dir)
+        model = DilatedUNet(
+            init_nb=mcfg.init_nb,
+            use_deep_supervision=mcfg.use_deep_supervision,
+            dilation_rates=tuple(mcfg.dilation_rates),
+            compute_dtype=jnp.bfloat16,
+        )
         params = ckpt.load_params(weights_path)
         base = make_unet_predict(model)
 

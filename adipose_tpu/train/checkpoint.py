@@ -183,6 +183,40 @@ def detect_deep_supervision(ckpt_dir: str | Path) -> bool:
     return "use_deep_supervision: True" in content or "deep_supervision: True" in content
 
 
+def detect_model_config(ckpt_dir: str | Path):
+    """Rebuild the checkpoint's architecture from ``training_settings.log``.
+
+    The reference recovers only the deep-supervision flag
+    (``full_evaluation_enhanced.py:493-520``) because its other architecture
+    knobs are hard-coded; here ``init_nb``/``tile_size``/``dilation_rates``
+    are configurable, so evaluating a non-default checkpoint must rebuild the
+    trained shape, not the default one. Falls back to defaults for missing
+    keys (old checkpoints)."""
+    import re
+
+    from adipose_tpu.core.config import UNetConfig
+
+    kwargs = {"use_deep_supervision": detect_deep_supervision(ckpt_dir)}
+    f = Path(ckpt_dir) / "training_settings.log"
+    if f.exists():
+        text = f.read_text()
+
+        def grab(key, cast):
+            m = re.search(rf"^{key}: (.+)$", text, re.M)
+            if m:
+                try:
+                    kwargs[key] = cast(m.group(1).strip())
+                except (ValueError, SyntaxError):
+                    pass
+
+        grab("init_nb", int)
+        grab("tile_size", int)
+        grab("dropout_rate", float)
+        grab("dilation_rates", lambda s: tuple(
+            int(t) for t in s.strip("()[] ").split(",") if t.strip()))
+    return UNetConfig(**kwargs)
+
+
 class CsvLogger:
     """Per-epoch CSV metrics (Keras CSVLogger contract: header from first row)."""
 

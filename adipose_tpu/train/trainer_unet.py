@@ -381,6 +381,8 @@ class UNetTrainer:
             "use_deep_supervision": self.model_cfg.use_deep_supervision,
             "init_nb": self.model_cfg.init_nb,
             "tile_size": self.model_cfg.tile_size,
+            "dropout_rate": self.model_cfg.dropout_rate,
+            "dilation_rates": tuple(self.model_cfg.dilation_rates),
             "train_tiles": len(self.train_data),
             "val_tiles": len(self.val_data),
             "normalization_mean": self.mean,

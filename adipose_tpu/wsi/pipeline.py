@@ -63,6 +63,7 @@ class DualModelWSIPipeline:
         blur_threshold: float = 7.5,
         blend_sigma_factor: float = 0.25,
         mesh=None,
+        transfer_dtype: str = "float16",  # 'float16' | 'float32'
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — each QC/classify/segment
         chunk shards over the mesh 'data' axis, spreading one slide's tile
@@ -82,6 +83,12 @@ class DualModelWSIPipeline:
         self.batch_size = batch_size
         self.qc_args = (white_threshold, white_ratio, blur_threshold)
         self.weight_map = gaussian_weight_map(tile_size, blend_sigma_factor)
+        # Final-map download precision. float16 halves the device->host
+        # transfer (67 MB -> 33 MB for a 4096² slide — the dominant cost of
+        # blend_s through the tunnel) at a quantization error <= 5e-4 on
+        # [0,1] probabilities, inside the model-wide bf16 noise band
+        # (DiffSigmoidHead docstring). 'float32' restores exact transfer.
+        self.transfer_dtype = transfer_dtype
 
     def _put(self, chunk: np.ndarray):
         if self.mesh is None:
@@ -180,7 +187,10 @@ class DualModelWSIPipeline:
         timings["segment_s"] = time.time() - t0
 
         t0 = time.time()
-        full = np.asarray(finalize_blend(acc, wsum))[:h, :w]
+        out = finalize_blend(acc, wsum)
+        if self.transfer_dtype == "float16":
+            out = out.astype(jnp.float16)
+        full = np.asarray(out)[:h, :w].astype(np.float32)
         timings["blend_s"] = time.time() - t0 + timings.pop("blend_weights_s")
 
         return PipelineResult(

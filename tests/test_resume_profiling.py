@@ -101,3 +101,26 @@ def test_train_jit_cpu_fallback_and_donation():
     # donation honored on backends that support it; on CPU jax ignores it,
     # so just assert the wrapper produced a jitted callable
     assert isinstance(step, jax.stages.Wrapped)
+
+
+def test_detect_model_config_roundtrip(tmp_path):
+    """Evaluator-side architecture recovery from training_settings.log."""
+    from adipose_tpu.train import checkpoint as ckpt
+
+    ckpt.write_training_settings(tmp_path, {
+        "use_deep_supervision": True,
+        "init_nb": 8,
+        "tile_size": 64,
+        "dropout_rate": 0.25,
+        "dilation_rates": (1, 2, 4),
+    })
+    cfg = ckpt.detect_model_config(tmp_path)
+    assert cfg.init_nb == 8
+    assert cfg.tile_size == 64
+    assert cfg.dropout_rate == 0.25
+    assert cfg.dilation_rates == (1, 2, 4)
+    assert cfg.use_deep_supervision is True
+
+    # missing log falls back to defaults
+    default = ckpt.detect_model_config(tmp_path / "nope")
+    assert default.init_nb == 44 and default.use_deep_supervision is False
