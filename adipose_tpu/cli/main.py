@@ -246,6 +246,9 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--classifier-threshold", type=float, default=0.5)
     pl.add_argument("--threshold", type=float, default=0.5)
     pl.add_argument("--batch-size", type=int, default=16)
+    pl.add_argument("--transfer-dtype", choices=["float16", "float32"],
+                    default="float16",
+                    help="final probability-map download precision")
 
     # -- preprocessing tools --------------------------------------------------
     ch = sub.add_parser("chunk-wsi", help="cut a huge WSI into chunks")
@@ -705,6 +708,7 @@ def cmd_pipeline(args):
         tile_size=args.tile_size,
         classifier_threshold=args.classifier_threshold,
         batch_size=args.batch_size,
+        transfer_dtype=args.transfer_dtype,
     )
     result = pipe.run_file(args.wsi, args.output_dir, args.threshold)
     print(json.dumps({"n_tiles": result.n_tiles, "n_good": result.n_good,
