@@ -144,6 +144,11 @@ class EvalConfig(_JsonMixin):
     # EFFECTIVE device batch (TTA views fold into it; the evaluator deflates
     # the tile chunk by the view count). 16 is the v5e HBM sweet spot at 1024².
     batch_size: int = 16
+    # Prediction download precision: 'float16' halves device->host transfer
+    # (full test split ≈ 755 MB of 1024² prob tiles at f32) at ≤5e-4
+    # quantization error — inside the model-wide bf16 noise band. 'float32'
+    # restores exact downloads.
+    transfer_dtype: str = "float16"
 
 
 @dataclass

@@ -148,11 +148,19 @@ class PublicationEvaluator:
             return base_predict(params, (tiles - mean) / (std + 1e-10))
 
         self.predict_raw = normalized_predict
-        self.predict = (
+        base = (
             make_tta_predict(normalized_predict, self.cfg.tta_mode)
             if self.cfg.use_tta
             else normalized_predict
         )
+        if self.cfg.transfer_dtype == "float16":
+            # cast on device so np.asarray downloads half the bytes; the
+            # tiny separate cast op costs one ~1.5 ms dispatch per chunk
+            def predict(params, tiles, _base=base):
+                return _base(params, tiles).astype(jnp.float16)
+        else:
+            predict = base
+        self.predict = predict
         # TTA stacks its views into the model batch (eval/tta.py), so deflate
         # the tile chunk to keep the EFFECTIVE device batch at cfg.batch_size
         # — otherwise full TTA at 1024² pushes views×batch tiles through the
@@ -178,6 +186,7 @@ class PublicationEvaluator:
                 overlap=cfg.sliding_overlap,
                 blend_mode=cfg.blend_mode,
                 batch_size=self.tile_batch,
+                transfer_dtype=cfg.transfer_dtype,
             )
             for i, img in enumerate(images):
                 preds[i] = sw.predict(self.predict, self.params, img)
@@ -195,7 +204,9 @@ class PublicationEvaluator:
                         batch = np.concatenate(
                             [batch, np.repeat(batch[-1:], b - n, axis=0)]
                         )
-                    out = np.asarray(self.predict(self.params, jnp.asarray(batch)))[:n]
+                    out = np.asarray(
+                        self.predict(self.params, jnp.asarray(batch))
+                    ).astype(np.float32)[:n]
                     for k, j in enumerate(chunk_idx):
                         preds[j] = out[k]
         if refiner is not None:

@@ -39,6 +39,7 @@ class SlidingWindowInference:
         batch_size: int = 8,
         sigma_factor: float = 0.25,
         mesh=None,
+        transfer_dtype: str = "float32",  # 'float16' halves the map download
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — when given, each predict
         batch is sharded over the mesh's 'data' axis, so one WSI's tile stream
@@ -50,6 +51,7 @@ class SlidingWindowInference:
         self.stride = int(tile_size * (1 - self.overlap))
         self.blend_mode = blend_mode
         self.mesh = mesh
+        self.transfer_dtype = transfer_dtype
         if mesh is not None:
             n = mesh.shape.get("data", 1)
             batch_size = max(batch_size, n) // n * n  # divisible by data axis
@@ -93,4 +95,6 @@ class SlidingWindowInference:
         preds = jnp.concatenate(preds, axis=0)
 
         full = blend_tiles(preds, jnp.asarray(positions), self.weight_map, ph, pw)
-        return np.asarray(full[:h, :w])
+        if self.transfer_dtype == "float16":
+            full = full.astype(jnp.float16)
+        return np.asarray(full[:h, :w]).astype(np.float32)
