@@ -139,6 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--n-bootstrap", type=int, default=10000)
     e.add_argument("--batch-size", type=int, default=16,
                    help="EFFECTIVE device batch; TTA views fold into it")
+    e.add_argument("--transfer-dtype", choices=["float16", "float32"],
+                   default="float16",
+                   help="prediction download precision (float16 halves "
+                        "device->host transfer; error <= 5e-4)")
     e.add_argument("--save-visualizations", action="store_true")
     e.add_argument("--n-vis-samples", type=int, default=20)
     e.add_argument("--profile-dir", default=None)
@@ -301,8 +305,23 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--morphology", action="store_true",
                     help="cell-morphology census over MASK tiles → "
                          "optimized post-processing parameters")
+    an.add_argument("--contrast-groups", action="store_true",
+                    help="quality grouping → adaptive-CLAHE cutoffs "
+                         "(image_quality_analysis.csv + generated function)")
     an.add_argument("--n-samples", type=int, default=10)
+    an.add_argument("--n-per-split", type=int, default=2,
+                    help="contrast-group samples per train/val/test split")
     an.add_argument("--max-tiles", type=int, default=None)
+
+    vp = sub.add_parser("visualize-preprocessing",
+                        help="Original→Reinhard→z-score→percentile pipeline "
+                             "panels (color + grayscale)")
+    vp.add_argument("--tiles-dir", required=True)
+    vp.add_argument("--output-dir", required=True)
+    vp.add_argument("--n-samples", type=int, default=7)
+    vp.add_argument("--stats", default=None,
+                    help="normalization_stats.json for the z-score stage "
+                         "(default: computed over the samples)")
 
     ss = sub.add_parser("select-stain-reference",
                         help="rank candidate tiles, write stain metadata")
@@ -434,6 +453,7 @@ def _eval_config(args):
         adaptive_threshold=args.adaptive_threshold,
         n_bootstrap=args.n_bootstrap, use_ema_weights=args.ema,
         batch_size=args.batch_size,
+        transfer_dtype=args.transfer_dtype,
     )
 
 
@@ -855,12 +875,14 @@ def cmd_tif2jpg(args):
 
 def cmd_analyze_tiles(args):
     from adipose_tpu.data.analysis import (
+        contrast_group_census,
         morphology_census,
         preprocessing_comparison,
         tile_quality_census,
     )
 
-    if not args.census and not args.compare_preprocessing and not args.morphology:
+    if not (args.census or args.compare_preprocessing or args.morphology
+            or args.contrast_groups):
         args.census = True
     if args.census:
         summary = tile_quality_census(args.tiles_dir, args.output_dir,
@@ -874,6 +896,20 @@ def cmd_analyze_tiles(args):
         report = morphology_census(args.tiles_dir, args.output_dir,
                                    n_samples=args.n_samples)
         print(json.dumps(report["optimized_parameters"], indent=2))
+    if args.contrast_groups:
+        summary = contrast_group_census(args.tiles_dir, args.output_dir,
+                                        n_per_split=args.n_per_split)
+        print(json.dumps(summary, indent=2))
+
+
+def cmd_visualize_preprocessing(args):
+    from adipose_tpu.data.analysis import preprocessing_pipeline_visualization
+
+    out = preprocessing_pipeline_visualization(
+        args.tiles_dir, args.output_dir,
+        n_samples=args.n_samples, stats_path=args.stats,
+    )
+    print(json.dumps(out, indent=2))
 
 
 def cmd_select_stain_reference(args):
@@ -952,6 +988,7 @@ COMMANDS = {
     "compare-modalities": cmd_compare_modalities,
     "tif2jpg": cmd_tif2jpg,
     "analyze-tiles": cmd_analyze_tiles,
+    "visualize-preprocessing": cmd_visualize_preprocessing,
     "select-stain-reference": cmd_select_stain_reference,
     "validate-stain": cmd_validate_stain,
     "export": cmd_export,

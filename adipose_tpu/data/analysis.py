@@ -3,7 +3,7 @@
 Behavioral spec: the ``pre-post-processing_tools/analysis/`` script family
 (~4.5 kLoC of one-off reports — tile-quality census, CLAHE/percentile/
 normalization comparisons, preprocessing-pipeline visualizer). Consolidated
-here as two parameterized drivers:
+here as parameterized drivers:
 
   * :func:`tile_quality_census` — batched QC statistics over a tile directory
     (white ratio, Laplacian variance, intensity moments) with distribution
@@ -11,7 +11,13 @@ here as two parameterized drivers:
   * :func:`preprocessing_comparison` — applies a set of enhancement variants
     (none / zscore / percentile / CLAHE / deband) to sample tiles and tabulates
     quality metrics (sharpness, entropy, contrast) per variant — the
-    'preprocessing comparison' reports.
+    'preprocessing comparison' reports;
+  * :func:`morphology_census` — cell-shape statistics over mask tiles →
+    optimized post-processing parameters;
+  * :func:`contrast_group_census` — quality grouping → adaptive-CLAHE cutoffs
+    (``analyze_contrast_groups.py``);
+  * :func:`preprocessing_pipeline_visualization` — staged pipeline panels
+    (``visualize_preprocessing_pipeline.py``).
 
 All pixel math runs device-batched through the ops layer.
 """
@@ -22,6 +28,7 @@ import json
 from pathlib import Path
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -281,3 +288,384 @@ def morphology_census(
     report = {"cell_statistics": stats, "optimized_parameters": optimized}
     (output_dir / "morphology_analysis.json").write_text(json.dumps(report, indent=2))
     return report
+
+
+# ---------------------------------------------------------------------------
+# Contrast grouping analysis → adaptive-CLAHE cutoffs
+# (analysis/contrast_and_normalization_analysis/analyze_contrast_groups.py)
+# ---------------------------------------------------------------------------
+
+
+def _box_mean(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k×k sliding mean with reflect-101 borders (cv2.filter2D default),
+    computed as two separable cumsum passes — O(N) instead of O(N·k²)."""
+    pad = k // 2
+    xp = jnp.pad(x, pad, mode="reflect")
+
+    def box1d(a, axis):
+        c = jnp.cumsum(a, axis=axis)
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=axis))
+        c = jnp.concatenate([zero, c], axis=axis)
+        hi = jax.lax.slice_in_dim(c, k, c.shape[axis], axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - k, axis=axis)
+        return hi - lo
+
+    return box1d(box1d(xp, 0), 1) / float(k * k)
+
+
+@jax.jit
+def _quality_arrays(x: jnp.ndarray):
+    """Device program for the per-image quality metrics: intensity moments,
+    15×15 local-contrast field, and the 256-bin histogram."""
+    mean = jnp.mean(x)
+    std = jnp.std(x)
+    dyn = jnp.max(x) - jnp.min(x)
+    local_mean = _box_mean(x, 15)
+    local_var = jnp.maximum(_box_mean(x * x, 15) - local_mean**2, 0.0)
+    local_std = jnp.sqrt(local_var)
+    hist = jnp.histogram(x, bins=256, range=(0.0, 255.0))[0].astype(jnp.float32)
+    return mean, std, dyn, jnp.mean(local_std), jnp.std(local_std), hist
+
+
+def image_quality_metrics(img: np.ndarray) -> dict:
+    """The ten quality metrics of ``analyze_contrast_groups.py:34-90``:
+    intensity moments, contrast ratio / dynamic range / CV, Laplacian-variance
+    sharpness, 15×15 local-contrast statistics, histogram entropy, and
+    smoothed-histogram peak prominence. Pixel math runs on device; the
+    histogram post-processing (5-tap Gaussian smooth + peak scan) is 256
+    scalars on host."""
+    from adipose_tpu.ops.qc import laplacian_variance
+
+    x = jnp.asarray(img, jnp.float32)
+    mean, std, dyn, avg_lc, std_lc, hist = (
+        np.asarray(v) for v in _quality_arrays(x)
+    )
+    lap = float(laplacian_variance(jnp.clip(x, 0, 255).astype(jnp.uint8)))
+    p = hist / max(hist.sum(), 1.0)
+    entropy = float(-np.sum(p * np.log2(p + 1e-10)))
+    smooth = cv2.GaussianBlur(hist.reshape(-1, 1), (1, 5), 1.0).ravel()
+    interior = smooth[1:-1]
+    is_peak = (interior > smooth[:-2]) & (interior > smooth[2:])
+    peaks = interior[is_peak]
+    peak_prom = float(peaks.max() / (smooth.mean() + 1e-6)) if peaks.size else 0.0
+    mean, std = float(mean), float(std)
+    return {
+        "mean_intensity": mean,
+        "std_intensity": std,
+        "contrast_ratio": std / (mean + 1e-6),
+        "dynamic_range": float(dyn),
+        "coefficient_variation": std / mean * 100 if mean else 0.0,
+        "laplacian_variance": lap,
+        "avg_local_contrast": float(avg_lc),
+        "local_contrast_variation": float(std_lc) / (float(avg_lc) + 1e-6),
+        "entropy": entropy,
+        "peak_prominence": peak_prom,
+    }
+
+
+def _census_splits(dataset_dir: Path) -> dict:
+    """dataset/{train,val,test}/images layout when present, else one flat
+    split (the reference hard-codes the three-split layout, :101-114)."""
+    splits = {}
+    for name in ("train", "val", "test"):
+        d = dataset_dir / name / "images"
+        if d.is_dir():
+            splits[name] = d
+    return splits or {"all": dataset_dir}
+
+
+def contrast_group_census(
+    dataset_dir: str | Path,
+    output_dir: str | Path,
+    n_per_split: int = 2,
+    seed: int = 865,
+) -> dict:
+    """Contrast-based quality grouping → adaptive-CLAHE cutoffs.
+
+    Behavioral spec: ``analysis/contrast_and_normalization_analysis/
+    analyze_contrast_groups.py`` — sample images per split (seed 865, :117),
+    measure :func:`image_quality_metrics`, set poor/good cutoffs at the 33rd/
+    67th percentile of contrast ratio, sharpness, and local contrast
+    (:189-196), classify each image (contrast primary, sharpness tiebreak on
+    the good side, :229-243), and emit the reference's artifact set:
+    ``image_quality_analysis.csv``, ``contrast_analysis_grouping.png``,
+    ``adaptive_clahe_function.py`` (generated, parameterizing
+    :func:`adipose_tpu.ops.clahe.adaptive_clahe_normalize`) plus a cutoffs
+    JSON, and ``CONTRAST_GROUPING_ANALYSIS.md`` (:363-418).
+    """
+    import random as _random
+
+    import pandas as pd
+
+    dataset_dir, output_dir = Path(dataset_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    rng = _random.Random(seed)
+
+    rows = []
+    for split, img_dir in _census_splits(dataset_dir).items():
+        files = sorted(img_dir.glob("*.jpg")) or _tile_files(img_dir)
+        if not files:
+            continue
+        for idx, f in enumerate(rng.sample(files, min(n_per_split, len(files)))):
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            m = image_quality_metrics(img.astype(np.float32))
+            m.update(split=split, sample_id=f"{split}_sample{idx + 1}",
+                     filename=f.name)
+            rows.append(m)
+    if not rows:
+        raise FileNotFoundError(f"no images under {dataset_dir}")
+    df = pd.DataFrame(rows)
+
+    cutoffs = {}
+    for metric in ("contrast_ratio", "laplacian_variance", "avg_local_contrast"):
+        lo, hi = np.percentile(df[metric].values, [33, 67])
+        cutoffs[metric] = {"poor_cutoff": float(lo), "good_cutoff": float(hi)}
+
+    def classify(row):
+        if row["contrast_ratio"] < cutoffs["contrast_ratio"]["poor_cutoff"]:
+            return "Poor Quality (Needs CLAHE)"
+        if (row["contrast_ratio"] > cutoffs["contrast_ratio"]["good_cutoff"]
+                and row["laplacian_variance"]
+                > cutoffs["laplacian_variance"]["good_cutoff"]):
+            return "Good Quality (Percentile Only)"
+        return "Medium Quality (Mild CLAHE)"
+
+    df["quality_group"] = df.apply(classify, axis=1)
+    df.to_csv(output_dir / "image_quality_analysis.csv", index=False)
+    (output_dir / "adaptive_clahe_cutoffs.json").write_text(
+        json.dumps(cutoffs, indent=2)
+    )
+    # The reference emits a ready-to-import module with the cutoffs baked in
+    # (:258-298); ours parameterizes the library op instead of inlining cv2.
+    (output_dir / "adaptive_clahe_function.py").write_text(
+        "# Generated by adipose_tpu contrast_group_census "
+        f"from {len(df)} sample images.\n"
+        "from adipose_tpu.ops.clahe import adaptive_clahe_normalize\n\n"
+        f"CUTOFFS = {json.dumps(cutoffs, indent=4)}\n\n\n"
+        "def adaptive_clahe_normalization(img):\n"
+        '    """Quality-adaptive CLAHE+percentile normalization -> [0,1]."""\n'
+        "    import numpy as np\n"
+        "    out, _strategy = adaptive_clahe_normalize(img, CUTOFFS)\n"
+        "    return np.asarray(out)\n"
+    )
+    _plot_contrast_grouping(df, output_dir / "contrast_analysis_grouping.png")
+
+    counts = df["quality_group"].value_counts()
+    cr, lv = cutoffs["contrast_ratio"], cutoffs["laplacian_variance"]
+    report = (
+        "# Image Quality Analysis and Adaptive CLAHE Cutoffs\n\n"
+        f"Based on {len(df)} sample images ({n_per_split} per split, "
+        f"seed {seed}).\n\n"
+        "## Determined cutoffs\n\n"
+        "**Contrast ratio (std/mean):**\n"
+        f"- Poor (needs CLAHE): < {cr['poor_cutoff']:.3f}\n"
+        f"- Medium (mild CLAHE): {cr['poor_cutoff']:.3f} – "
+        f"{cr['good_cutoff']:.3f}\n"
+        f"- Good (percentile only): > {cr['good_cutoff']:.3f}\n\n"
+        "**Sharpness (Laplacian variance):**\n"
+        f"- Poor: < {lv['poor_cutoff']:.1f}\n"
+        f"- Medium: {lv['poor_cutoff']:.1f} – {lv['good_cutoff']:.1f}\n"
+        f"- Good: > {lv['good_cutoff']:.1f}\n\n"
+        "## Group distribution\n\n"
+        + "\n".join(f"- {k}: {v}" for k, v in counts.items())
+        + "\n\n## Strategy\n\n"
+        "1. Poor: CLAHE clip 2.0 grid 8×8 + 5–95 percentile\n"
+        "2. Medium: CLAHE clip 1.5 grid 12×12 + 5–95 percentile\n"
+        "3. Good: 2–98 percentile only\n\n"
+        "Generated: contrast_analysis_grouping.png, "
+        "image_quality_analysis.csv, adaptive_clahe_function.py, "
+        "adaptive_clahe_cutoffs.json\n"
+    )
+    (output_dir / "CONTRAST_GROUPING_ANALYSIS.md").write_text(report)
+    return {"cutoffs": cutoffs, "n_images": len(df),
+            "groups": counts.to_dict()}
+
+
+def _plot_contrast_grouping(df, out_path: Path) -> None:
+    """4-panel grouping figure (``analyze_contrast_groups.py:301-342``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(16, 12))
+    codes = df["quality_group"].astype("category").cat.codes
+    axes[0, 0].scatter(df["contrast_ratio"], df["laplacian_variance"],
+                       c=codes, cmap="viridis", alpha=0.7, s=100)
+    for _, row in df.iterrows():
+        axes[0, 0].annotate(row["sample_id"],
+                            (row["contrast_ratio"], row["laplacian_variance"]),
+                            xytext=(5, 5), textcoords="offset points",
+                            fontsize=8)
+    axes[0, 0].set_xlabel("Contrast Ratio (std/mean)")
+    axes[0, 0].set_ylabel("Laplacian Variance (sharpness)")
+    axes[0, 0].set_title("Image Quality Metrics")
+
+    counts = df["quality_group"].value_counts()
+    axes[0, 1].bar(range(len(counts)), counts.values)
+    axes[0, 1].set_xticks(range(len(counts)))
+    axes[0, 1].set_xticklabels(counts.index, rotation=45, ha="right")
+    axes[0, 1].set_title("Quality Group Distribution")
+    axes[0, 1].set_ylabel("Number of Images")
+
+    axes[1, 0].hist(df["contrast_ratio"], bins=8, alpha=0.7, edgecolor="black")
+    axes[1, 0].set_xlabel("Contrast Ratio")
+    axes[1, 0].set_title("Contrast Ratio Distribution")
+    axes[1, 1].hist(df["laplacian_variance"], bins=8, alpha=0.7,
+                    edgecolor="black")
+    axes[1, 1].set_xlabel("Laplacian Variance (Sharpness)")
+    axes[1, 1].set_title("Sharpness Distribution")
+    for ax in axes.ravel():
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing-pipeline visualizer
+# (analysis/visualize_preprocessing_pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def preprocessing_pipeline_visualization(
+    tiles_dir: str | Path,
+    output_dir: str | Path,
+    n_samples: int = 7,
+    stats_path: str | Path | None = None,
+) -> dict:
+    """Original → Reinhard → z-score → percentile panels for sample tiles.
+
+    Behavioral spec: ``analysis/visualize_preprocessing_pipeline.py`` —
+    evenly-spread sample tiles (:60-65), each pushed through the four
+    preprocessing stages in both color and grayscale (:73-151), rendered as an
+    image row + histogram row per tile with per-stage statistics, saved as
+    ``preprocessing_pipeline_color.png`` / ``..._grayscale.png`` (:163-264).
+    Stage math runs on device through the ops layer; dataset z-score stats
+    come from ``normalization_stats.json`` when given, else are computed over
+    the samples (:303-306).
+    """
+    from adipose_tpu.data.stats import compute_dataset_statistics
+    from adipose_tpu.ops import stain
+    from adipose_tpu.ops.normalize import percentile_unit, zscore_dataset
+
+    tiles_dir, output_dir = Path(tiles_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    files = _tile_files(tiles_dir)
+    if not files:
+        raise FileNotFoundError(f"no tiles under {tiles_dir}")
+    step = max(1, len(files) // max(n_samples, 1))
+    samples = files[::step][:n_samples]
+
+    if stats_path is not None:
+        stats = json.loads(Path(stats_path).read_text())
+        mean, std = float(stats["mean"]), float(stats["std"])
+    else:
+        mean, std = compute_dataset_statistics([str(p) for p in samples])
+
+    tiles_data = []
+    for f in samples:
+        bgr = cv2.imread(str(f), cv2.IMREAD_COLOR)
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
+        reinhard_rgb = np.asarray(stain.normalize_image(rgb))
+        reinhard_gray = cv2.cvtColor(reinhard_rgb, cv2.COLOR_RGB2GRAY).astype(
+            np.float32
+        )
+        rg = jnp.asarray(reinhard_gray)
+        zscore_gray = np.asarray(zscore_dataset(rg, mean, std))
+        percentile_gray = np.asarray(percentile_unit(rg))
+        gray3 = lambda g: np.repeat(g[..., None], 3, axis=-1)  # noqa: E731
+        tiles_data.append({
+            "name": f.stem,
+            "color": [rgb.astype(np.float32), reinhard_rgb.astype(np.float32),
+                      gray3(zscore_gray), gray3(percentile_gray)],
+            "grayscale": [gray, reinhard_gray, zscore_gray, percentile_gray],
+        })
+    if not tiles_data:
+        raise RuntimeError("no tiles could be processed")
+
+    outputs = {}
+    for version in ("color", "grayscale"):
+        outputs[version] = str(
+            _plot_pipeline_stages(tiles_data, output_dir, version)
+        )
+    outputs["stats"] = {"mean": mean, "std": std}
+    return outputs
+
+
+_STAGE_NAMES = ("Original", "Reinhard Normalized", "Reinhard + Z-score",
+                "Reinhard + Percentile")
+_STAGE_COLORS = ("red", "green", "blue", "orange")
+
+
+def _plot_pipeline_stages(tiles_data, output_dir: Path, version: str) -> Path:
+    """Image-row + histogram-row grid, one pair of rows per tile
+    (``visualize_preprocessing_pipeline.py:163-264``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(tiles_data)
+    fig = plt.figure(figsize=(20, 4 * n + 3))
+    title = "Original Colors" if version == "color" else "Grayscale (Network View)"
+    fig.suptitle(
+        f"Preprocessing Pipeline - {title}: "
+        "Original → Reinhard → Z-score → Percentile",
+        fontsize=16, fontweight="bold", y=0.98,
+    )
+    for ti, tile in enumerate(tiles_data):
+        images = tile["color"] if version == "color" else tile["grayscale"]
+        for si, (img, name, color) in enumerate(
+            zip(images, _STAGE_NAMES, _STAGE_COLORS)
+        ):
+            ax = plt.subplot(n * 2, 4, ti * 8 + si + 1)
+            if version == "color":
+                ax.imshow(np.clip(img, 0, 255).astype(np.uint8))
+            elif si <= 1:  # original / reinhard stay in [0, 255]
+                ax.imshow(np.clip(img, 0, 255).astype(np.uint8),
+                          cmap="gray", vmin=0, vmax=255)
+            else:  # normalized stages: rescale for display
+                lo, hi = float(img.min()), float(img.max())
+                disp = (img - lo) / (hi - lo) if hi > lo else img
+                ax.imshow(disp, cmap="gray", vmin=0, vmax=1)
+            label = f"{name}\n{tile['name']}" if ti == 0 else name
+            ax.set_title(label, fontsize=10, fontweight="bold", color=color)
+            ax.axis("off")
+
+            hx = plt.subplot(n * 2, 4, ti * 8 + si + 5)
+            data = img
+            if data.ndim == 3:
+                data = cv2.cvtColor(
+                    np.clip(data, 0, 255).astype(np.uint8), cv2.COLOR_RGB2GRAY
+                )
+            flat = np.asarray(data, np.float32).ravel()
+            hx.hist(flat, bins=50, alpha=0.7, density=True, color=color)
+            hx.set_xlabel("Pixel Value", fontsize=8)
+            hx.set_ylabel("Density", fontsize=8)
+            hx.tick_params(labelsize=7)
+            hx.text(
+                0.05, 0.95,
+                f"μ={flat.mean():.2f}\nσ={flat.std():.2f}\n"
+                f"Range=[{flat.min():.2f}, {flat.max():.2f}]",
+                transform=hx.transAxes, fontsize=7, verticalalignment="top",
+                bbox=dict(boxstyle="round", facecolor="white", alpha=0.8),
+            )
+    fig.text(
+        0.02, 0.02,
+        f"Pipeline stages ({title}): 1. Original raw tile  "
+        "2. Reinhard stain normalization  "
+        "3. dataset z-score  4. 1–99 percentile",
+        fontsize=10,
+        bbox=dict(boxstyle="round", facecolor="lightyellow", alpha=0.8),
+    )
+    fig.tight_layout(rect=[0, 0.05, 1, 0.96])
+    out = output_dir / f"preprocessing_pipeline_{version}.png"
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out

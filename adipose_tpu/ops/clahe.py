@@ -20,6 +20,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+#: Quality cutoffs published by the reference's contrast-grouping analysis
+#: (``analysis/contrast_and_normalization_analysis/adaptive_clahe_function.py:18-26``).
+#: ``contrast_group_census`` (data/analysis.py) re-derives dataset-specific
+#: values in the same JSON shape.
+DEFAULT_ADAPTIVE_CUTOFFS = {
+    "contrast_ratio": {"poor_cutoff": 0.183, "good_cutoff": 0.267},
+    "laplacian_variance": {"good_cutoff": 38.2},
+}
+
 
 @partial(jax.jit, static_argnames=("tile_grid", "nbins"))
 def clahe(
@@ -85,3 +94,63 @@ def clahe(
         + v11 * wy * wx
     )
     return jnp.clip(out, 0.0, 255.0)
+
+
+def _clahe_any_shape(x: jax.Array, clip_limit: float, tile_grid: int) -> jax.Array:
+    """CLAHE with reflect padding to the next grid multiple (cropped back)."""
+    h, w = x.shape
+    ph, pw = (-h) % tile_grid, (-w) % tile_grid
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
+    return clahe(x, clip_limit=clip_limit, tile_grid=tile_grid)[:h, :w]
+
+
+def _percentile_unit(x: jax.Array, p_low: float, p_high: float) -> jax.Array:
+    """``clip((x - p_lo) / (p_hi - p_lo + 1e-3), 0, 1)`` — the exact stretch the
+    reference's adaptive function applies (``adaptive_clahe_function.py:23-24``,
+    note the +1e-3 denominator guard, unlike the builder's percentile norm)."""
+    lo, hi = jnp.percentile(x, jnp.array([p_low, p_high]))
+    return jnp.clip((x - lo) / (hi - lo + 1e-3), 0.0, 1.0)
+
+
+def adaptive_clahe_normalize(
+    img,
+    cutoffs: dict | None = None,
+) -> tuple[jax.Array, str]:
+    """Quality-adaptive CLAHE + percentile normalization → unit-range float.
+
+    Behavioral spec: ``analysis/contrast_and_normalization_analysis/
+    adaptive_clahe_function.py:5-38`` — route each grayscale image by measured
+    quality:
+
+    * ``contrast_ratio < poor_cutoff`` → aggressive CLAHE (clip 2.0, 8×8 grid)
+      then 5–95 percentile stretch ("poor");
+    * ``contrast_ratio > good_cutoff`` and sharpness above its good cutoff →
+      2–98 percentile stretch only ("good");
+    * otherwise → mild CLAHE (clip 1.5, 12×12 grid) then 5–95 stretch
+      ("medium").
+
+    The quality decision is two host scalars (mean/std ratio + Laplacian
+    variance), so the branch stays in Python; each arm is a jitted device
+    program. Returns ``(image_in_[0,1], strategy)`` where strategy is one of
+    ``poor | good | medium``.
+    """
+    from adipose_tpu.ops.qc import laplacian_variance
+
+    cuts = cutoffs or DEFAULT_ADAPTIVE_CUTOFFS
+    x = jnp.asarray(img).astype(jnp.float32)
+    mean = float(jnp.mean(x))
+    std = float(jnp.std(x))
+    contrast_ratio = std / (mean + 1e-6)
+    # Reference measures sharpness on the uint8-clipped image
+    sharpness = float(laplacian_variance(jnp.clip(x, 0, 255).astype(jnp.uint8)))
+
+    cr = cuts["contrast_ratio"]
+    lap_good = cuts["laplacian_variance"]["good_cutoff"]
+    if contrast_ratio < cr["poor_cutoff"]:
+        out = _percentile_unit(_clahe_any_shape(x, 2.0, 8), 5.0, 95.0)
+        return out, "poor"
+    if contrast_ratio > cr["good_cutoff"] and sharpness > lap_good:
+        return _percentile_unit(x, 2.0, 98.0), "good"
+    out = _percentile_unit(_clahe_any_shape(x, 1.5, 12), 5.0, 95.0)
+    return out, "medium"

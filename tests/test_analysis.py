@@ -68,3 +68,100 @@ def test_morphology_census(tmp_path):
     # JSON round-trips
     loaded = json.loads((tmp_path / "morph" / "morphology_analysis.json").read_text())
     assert loaded["optimized_parameters"]["crf"]["bilateral_sxy"] == 25
+
+
+def test_adaptive_clahe_routing(rng):
+    """Quality routing matches the reference decision table
+    (adaptive_clahe_function.py:18-35): flat low-contrast -> CLAHE, sharp
+    high-contrast -> percentile only; all outputs land in [0, 1]."""
+    from adipose_tpu.ops.clahe import adaptive_clahe_normalize
+
+    flat = (100 + rng.randn(100, 130) * 5).astype(np.float32)
+    out, strat = adaptive_clahe_normalize(flat)
+    assert strat == "poor"
+    assert out.shape == flat.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+    sharp = (rng.rand(96, 96) * 255).astype(np.float32)
+    out2, strat2 = adaptive_clahe_normalize(sharp)
+    assert strat2 == "good"
+    assert float(out2.max()) <= 1.0
+
+
+def test_image_quality_metrics_oracle(rng):
+    """Device metrics match the reference's numpy/cv2 formulas
+    (analyze_contrast_groups.py:34-90)."""
+    from adipose_tpu.data.analysis import image_quality_metrics
+
+    img = (rng.rand(128, 128) * 220 + 10).astype(np.float32)
+    m = image_quality_metrics(img)
+    assert abs(m["mean_intensity"] - img.mean()) < 1e-2
+    assert abs(m["std_intensity"] - img.std()) < 1e-2
+    assert abs(m["contrast_ratio"] - img.std() / (img.mean() + 1e-6)) < 1e-4
+    assert abs(m["dynamic_range"] - (img.max() - img.min())) < 1e-3
+    # cv2 oracle for local contrast
+    k = np.ones((15, 15), np.float32) / 225.0
+    lm = cv2.filter2D(img, -1, k)
+    lv = cv2.filter2D(img**2, -1, k) - lm**2
+    ls = np.sqrt(np.maximum(lv, 0))
+    assert abs(m["avg_local_contrast"] - ls.mean()) < 0.05
+    # entropy oracle
+    hist, _ = np.histogram(img, bins=256, range=(0, 255))
+    p = hist / hist.sum()
+    ent = -np.sum(p * np.log2(p + 1e-10))
+    assert abs(m["entropy"] - ent) < 1e-3
+    assert m["peak_prominence"] >= 0.0
+
+
+def test_contrast_group_census(tmp_path, rng):
+    from adipose_tpu.data.analysis import contrast_group_census
+
+    root = tmp_path / "dataset"
+    for split in ("train", "val", "test"):
+        d = root / split / "images"
+        d.mkdir(parents=True)
+        for i in range(3):
+            if i == 0:
+                img = (100 + rng.randn(64, 64) * 3).astype(np.uint8)
+            else:
+                img = (rng.rand(64, 64) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"{split}{i}.jpg"), img)
+    out = tmp_path / "cg"
+    summary = contrast_group_census(root, out, n_per_split=2)
+    assert summary["n_images"] == 6
+    assert set(summary["cutoffs"]) == {
+        "contrast_ratio", "laplacian_variance", "avg_local_contrast"
+    }
+    for name in ("image_quality_analysis.csv", "contrast_analysis_grouping.png",
+                 "adaptive_clahe_function.py", "adaptive_clahe_cutoffs.json",
+                 "CONTRAST_GROUPING_ANALYSIS.md"):
+        assert (out / name).exists(), name
+    cuts = json.loads((out / "adaptive_clahe_cutoffs.json").read_text())
+    cr = cuts["contrast_ratio"]
+    assert cr["poor_cutoff"] <= cr["good_cutoff"]
+    # generated module is importable and runs the adaptive op
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_adaptive", out / "adaptive_clahe_function.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    res = mod.adaptive_clahe_normalization(
+        (rng.rand(48, 48) * 255).astype(np.float32))
+    assert res.shape == (48, 48) and res.max() <= 1.0
+
+
+def test_preprocessing_pipeline_visualization(tmp_path, rng):
+    from adipose_tpu.data.analysis import preprocessing_pipeline_visualization
+
+    d = tmp_path / "tiles"
+    d.mkdir()
+    for i in range(3):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / f"t{i}.jpg"), img)
+    out = preprocessing_pipeline_visualization(d, tmp_path / "viz", n_samples=2)
+    from pathlib import Path
+
+    assert Path(out["color"]).exists()
+    assert Path(out["grayscale"]).exists()
+    assert out["stats"]["std"] > 0

@@ -191,3 +191,19 @@ class TestServingExport:
         got = np.asarray(re.call(params, x))
         want = np.asarray(fn(params, x))
         assert np.abs(got - want).max() < 1e-5
+
+
+class TestAnalysisCLI:
+    def test_new_analysis_flags_parse(self):
+        parser = build_parser()
+        args = parser.parse_args([
+            "analyze-tiles", "--tiles-dir", "/x", "--output-dir", "/y",
+            "--contrast-groups", "--n-per-split", "3",
+        ])
+        assert args.contrast_groups and args.n_per_split == 3
+        args = parser.parse_args([
+            "visualize-preprocessing", "--tiles-dir", "/x",
+            "--output-dir", "/y", "--n-samples", "4",
+        ])
+        assert args.command == "visualize-preprocessing"
+        assert args.n_samples == 4 and args.stats is None
