@@ -152,6 +152,8 @@ def build_parser() -> argparse.ArgumentParser:
     ec.add_argument("--test-dataset", required=True)
     ec.add_argument("--use-tta", action="store_true")
     ec.add_argument("--n-bootstrap", type=int, default=2000)
+    ec.add_argument("--transfer-dtype", choices=["float16", "float32"],
+                    default="float16")
 
     cl = sub.add_parser("eval-classifier", help="classifier test evaluation")
     cl.add_argument("--weights", required=True)
@@ -172,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     tce.add_argument("--test-dataset", required=True)
     tce.add_argument("--coverage-threshold", type=float, default=0.025)
     tce.add_argument("--multi-threshold", action="store_true")
+    tce.add_argument("--transfer-dtype", choices=["float16", "float32"],
+                     default="float16")
     tce.add_argument("--output", default=None)
 
     vm = sub.add_parser("visualize-metrics", help="compare checkpoint metrics")
@@ -477,7 +481,8 @@ def cmd_evaluate_checkpoints(args):
     from adipose_tpu.core.config import EvalConfig
     from adipose_tpu.eval.batch_eval import CheckpointBatchEvaluator
 
-    cfg = EvalConfig(use_tta=args.use_tta, n_bootstrap=args.n_bootstrap)
+    cfg = EvalConfig(use_tta=args.use_tta, n_bootstrap=args.n_bootstrap,
+                     transfer_dtype=args.transfer_dtype)
     be = CheckpointBatchEvaluator(args.checkpoints_root, args.test_dataset, cfg)
     records = be.run()
     for r in records:
@@ -663,7 +668,10 @@ def cmd_tile_classification_eval(args):
     from adipose_tpu.eval.tile_classification import run_tile_classification_evaluation
     import numpy as np
 
-    ev = PublicationEvaluator(args.weights, EvalConfig(batch_size=8))
+    ev = PublicationEvaluator(
+        args.weights,
+        EvalConfig(batch_size=8, transfer_dtype=args.transfer_dtype),
+    )
     pairs = load_validation_data(args.test_dataset)
     _, preds = ev.predict_tiles([p for p, _ in pairs])
     trues = [(read_image_gray(m) > 127).astype(np.float32) for _, m in pairs]

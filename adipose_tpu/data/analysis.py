@@ -365,13 +365,18 @@ def image_quality_metrics(img: np.ndarray) -> dict:
 
 def _census_splits(dataset_dir: Path) -> dict:
     """dataset/{train,val,test}/images layout when present, else one flat
-    split (the reference hard-codes the three-split layout, :101-114)."""
+    split (the reference hard-codes the three-split layout, :101-114).
+    A lone ``images/`` child is used directly so sibling ``masks/`` artifacts
+    never enter the census."""
     splits = {}
     for name in ("train", "val", "test"):
         d = dataset_dir / name / "images"
         if d.is_dir():
             splits[name] = d
-    return splits or {"all": dataset_dir}
+    if splits:
+        return splits
+    sub = dataset_dir / "images"
+    return {"all": sub if sub.is_dir() else dataset_dir}
 
 
 def contrast_group_census(
@@ -403,7 +408,9 @@ def contrast_group_census(
 
     rows = []
     for split, img_dir in _census_splits(dataset_dir).items():
-        files = sorted(img_dir.glob("*.jpg")) or _tile_files(img_dir)
+        files = sorted(img_dir.glob("*.jpg")) or [
+            f for f in _tile_files(img_dir) if "masks" not in f.parent.parts
+        ]
         if not files:
             continue
         for idx, f in enumerate(rng.sample(files, min(n_per_split, len(files)))):

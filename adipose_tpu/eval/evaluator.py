@@ -148,19 +148,22 @@ class PublicationEvaluator:
             return base_predict(params, (tiles - mean) / (std + 1e-10))
 
         self.predict_raw = normalized_predict
-        base = (
+        self.predict = (
             make_tta_predict(normalized_predict, self.cfg.tta_mode)
             if self.cfg.use_tta
             else normalized_predict
         )
         if self.cfg.transfer_dtype == "float16":
             # cast on device so np.asarray downloads half the bytes; the
-            # tiny separate cast op costs one ~1.5 ms dispatch per chunk
-            def predict(params, tiles, _base=base):
+            # tiny separate cast op costs one ~1.5 ms dispatch per chunk.
+            # Used only at the direct-download site — the sliding-window path
+            # quantizes once, on its blended map (sliding_window.py), so maps
+            # are never rounded twice.
+            def predict_transfer(params, tiles, _base=self.predict):
                 return _base(params, tiles).astype(jnp.float16)
         else:
-            predict = base
-        self.predict = predict
+            predict_transfer = self.predict
+        self.predict_transfer = predict_transfer
         # TTA stacks its views into the model batch (eval/tta.py), so deflate
         # the tile chunk to keep the EFFECTIVE device batch at cfg.batch_size
         # — otherwise full TTA at 1024² pushes views×batch tiles through the
@@ -205,8 +208,9 @@ class PublicationEvaluator:
                             [batch, np.repeat(batch[-1:], b - n, axis=0)]
                         )
                     out = np.asarray(
-                        self.predict(self.params, jnp.asarray(batch))
-                    ).astype(np.float32)[:n]
+                        self.predict_transfer(self.params, jnp.asarray(batch))[:n],
+                        dtype=np.float32,
+                    )
                     for k, j in enumerate(chunk_idx):
                         preds[j] = out[k]
         if refiner is not None:

@@ -97,4 +97,4 @@ class SlidingWindowInference:
         full = blend_tiles(preds, jnp.asarray(positions), self.weight_map, ph, pw)
         if self.transfer_dtype == "float16":
             full = full.astype(jnp.float16)
-        return np.asarray(full[:h, :w]).astype(np.float32)
+        return np.asarray(full[:h, :w], dtype=np.float32)

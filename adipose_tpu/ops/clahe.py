@@ -142,7 +142,12 @@ def adaptive_clahe_normalize(
     mean = float(jnp.mean(x))
     std = float(jnp.std(x))
     contrast_ratio = std / (mean + 1e-6)
-    # Reference measures sharpness on the uint8-clipped image
+    # The reference is inconsistent here: its census measures sharpness on the
+    # uint8-clipped image (analyze_contrast_groups.py:47-48) while its
+    # generated function uses the raw float (adaptive_clahe_function.py:15).
+    # We standardize on the census's uint8 so the routing matches the cutoffs'
+    # derivation; for fractional-valued inputs near the good-cutoff this can
+    # route differently than the reference's generated function.
     sharpness = float(laplacian_variance(jnp.clip(x, 0, 255).astype(jnp.uint8)))
 
     cr = cuts["contrast_ratio"]

@@ -165,3 +165,24 @@ def test_preprocessing_pipeline_visualization(tmp_path, rng):
     assert Path(out["color"]).exists()
     assert Path(out["grayscale"]).exists()
     assert out["stats"]["std"] > 0
+
+
+def test_adaptive_clahe_medium_branch(rng):
+    """Medium arm: mild CLAHE (clip 1.5, grid 12) on a shape that is NOT a
+    multiple of 12, exercising the reflect-pad + crop path."""
+    from adipose_tpu.ops.clahe import adaptive_clahe_normalize
+
+    # contrast ratio between the cutoffs (0.183, 0.267]: mean 100, std ~22
+    mid = np.clip(100 + rng.randn(70, 85) * 22, 0, 255).astype(np.float32)
+    cr = mid.std() / (mid.mean() + 1e-6)
+    assert 0.183 <= cr  # sanity: not in the poor band
+    out, strat = adaptive_clahe_normalize(mid)
+    assert strat in ("medium", "good")
+    if strat != "medium":  # force the medium arm deterministically
+        cuts = {"contrast_ratio": {"poor_cutoff": 0.0, "good_cutoff": 10.0},
+                "laplacian_variance": {"good_cutoff": 1e9}}
+        out, strat = adaptive_clahe_normalize(mid, cuts)
+        assert strat == "medium"
+    assert out.shape == mid.shape
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+    assert float(out.max()) - float(out.min()) > 0.5  # stretched, not constant
