@@ -397,7 +397,10 @@ def cmd_build_class_dataset(args):
 def cmd_train_unet(args):
     from adipose_tpu.core.config import TrainConfig, UNetConfig
     from adipose_tpu.data.tiling import find_most_recent_build_dir
+    from adipose_tpu.parallel.multihost import initialize_multihost
     from adipose_tpu.train.trainer_unet import UNetTrainer
+
+    initialize_multihost()  # no-op single-process; DCN cluster via env
 
     data_root = Path(args.data_root)
     if not (data_root / "dataset").exists():
@@ -428,7 +431,10 @@ def cmd_train_unet(args):
 
 def cmd_train_classifier(args):
     from adipose_tpu.core.config import ClassifierConfig, TrainConfig
+    from adipose_tpu.parallel.multihost import initialize_multihost
     from adipose_tpu.train.trainer_classifier import ClassifierTrainer
+
+    initialize_multihost()  # no-op single-process; DCN cluster via env
 
     cfg = TrainConfig(batch_size=args.batch_size, lr_phase1=args.base_lr,
                       lr_phase2=args.finetune_lr)

@@ -5,6 +5,12 @@ from adipose_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
 )
+from adipose_tpu.parallel.multihost import (
+    initialize_multihost,
+    make_global_mesh,
+    local_batch_slice,
+    make_global_array,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +18,8 @@ __all__ = [
     "replicate",
     "data_sharding",
     "replicated_sharding",
+    "initialize_multihost",
+    "make_global_mesh",
+    "local_batch_slice",
+    "make_global_array",
 ]
