@@ -207,3 +207,41 @@ class TestAnalysisCLI:
         ])
         assert args.command == "visualize-preprocessing"
         assert args.n_samples == 4 and args.stats is None
+
+
+class TestAnalysisHandlers:
+    """Run the new analysis subcommands through their parsed-args handlers —
+    pins the parser->handler attribute contract, not just parsing."""
+
+    def _tiles(self, tmp_path, rng, n=4):
+        d = tmp_path / "tiles"
+        d.mkdir()
+        for i in range(n):
+            img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(d / f"t{i}.jpg"), img)
+        return d
+
+    def test_contrast_groups_handler(self, tmp_path, rng, capsys):
+        d = self._tiles(tmp_path, rng)
+        parser = build_parser()
+        args = parser.parse_args([
+            "analyze-tiles", "--tiles-dir", str(d),
+            "--output-dir", str(tmp_path / "out"), "--contrast-groups",
+            "--n-per-split", "4",
+        ])
+        COMMANDS[args.command](args)
+        out = json.loads(capsys.readouterr().out)
+        assert out["n_images"] == 4
+        assert (tmp_path / "out" / "adaptive_clahe_cutoffs.json").exists()
+
+    def test_visualize_preprocessing_handler(self, tmp_path, rng, capsys):
+        d = self._tiles(tmp_path, rng)
+        parser = build_parser()
+        args = parser.parse_args([
+            "visualize-preprocessing", "--tiles-dir", str(d),
+            "--output-dir", str(tmp_path / "viz"), "--n-samples", "2",
+        ])
+        COMMANDS[args.command](args)
+        out = json.loads(capsys.readouterr().out)
+        assert (tmp_path / "viz" / "preprocessing_pipeline_color.png").exists()
+        assert out["stats"]["std"] > 0
