@@ -197,7 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch-size", type=int, default=8)
 
     ci = sub.add_parser("classify", help="folder classification → CSV")
-    ci.add_argument("--weights", required=True)
+    ci.add_argument("--weights", default=None)
+    ci.add_argument("--bundle", default=None,
+                    help="StableHLO export bundle (serving backend, the ONNX-"
+                         "runtime-classifier analog); overrides --weights")
     ci.add_argument("--input-dir", required=True)
     ci.add_argument("--output-csv", required=True)
     ci.add_argument("--use-tta", action="store_true")
@@ -613,20 +616,54 @@ def cmd_classify(args):
 
     from adipose_tpu.eval.evaluator import read_image_gray
     from adipose_tpu.eval.tta import make_classifier_tta_predict
-    from adipose_tpu.models.inception import InceptionV3Classifier
-    from adipose_tpu.train import checkpoint as ckpt
-    from adipose_tpu.train.trainer_classifier import _make_val_step
 
-    weights_path = ckpt.resolve_weights_path(args.weights)
-    variables = ckpt.load_params(weights_path)
-    model = InceptionV3Classifier(dtype=jnp.bfloat16)
-    val_step = _make_val_step(model, True, 1.0, 99.0)
+    if args.bundle:
+        # Serving path: the exported classifier takes inception-preprocessed
+        # (B, 299, 299, 3) input — host-side preprocessing mirrors the ONNX
+        # classifier's (classification_inference.py:288-320), here jitted.
+        from adipose_tpu.core.jitopts import infer_jit
+        from adipose_tpu.serving.export import load_exported
+        from adipose_tpu.train.trainer_classifier import make_inception_preprocess
 
-    def predict(vars_, images):
-        return val_step(vars_["params"], vars_["batch_stats"], images)
+        call, variables, manifest = load_exported(args.bundle)
+        pre = infer_jit(make_inception_preprocess())
+
+        def predict(vars_, images):
+            return call(vars_, pre(images))
+
+        mb = int(manifest.get("batch_size", args.batch_size))
+        if mb != args.batch_size:
+            print(f"bundle exported at batch {mb}; overriding --batch-size")
+            args.batch_size = mb
+    elif args.weights:
+        from adipose_tpu.models.inception import InceptionV3Classifier
+        from adipose_tpu.train import checkpoint as ckpt
+        from adipose_tpu.train.trainer_classifier import _make_val_step
+
+        weights_path = ckpt.resolve_weights_path(args.weights)
+        variables = ckpt.load_params(weights_path)
+        model = InceptionV3Classifier(dtype=jnp.bfloat16)
+        val_step = _make_val_step(model, True, 1.0, 99.0)
+
+        def predict(vars_, images):
+            return val_step(vars_["params"], vars_["batch_stats"], images)
+    else:
+        raise SystemExit("classify requires --weights or --bundle")
 
     if args.use_tta:
         predict = make_classifier_tta_predict(predict, "full")
+        if args.bundle:
+            # views fold into the fixed exported batch: chunk so that
+            # n_views * chunk == manifest batch
+            from adipose_tpu.ops.d4 import MODE_IDS
+
+            views = len(MODE_IDS["full"])
+            if args.batch_size % views:
+                raise SystemExit(
+                    f"--use-tta with --bundle needs the exported batch "
+                    f"({args.batch_size}) divisible by {views} TTA views"
+                )
+            args.batch_size //= views
 
     files = sorted(
         p for p in Path(args.input_dir).iterdir()

@@ -29,6 +29,7 @@ def export_model(
     output: str | Path,
     batch_size: int = 1,
     tile_size: int = 1024,
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
 ) -> Path:
     import jax
     import jax.numpy as jnp
@@ -86,7 +87,10 @@ def export_model(
     else:
         raise ValueError(f"unknown model type: {model_type}")
 
-    exported = jex.export(jax.jit(fn))(*jax.tree.map(
+    # multi-platform lowering: the bundle runs on any of `platforms` (the
+    # ONNX-portability analog — one artifact serves TPU deployment and CPU
+    # smoke tests alike)
+    exported = jex.export(jax.jit(fn), platforms=list(platforms))(*jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
         if not hasattr(x, "shape") else jax.ShapeDtypeStruct(x.shape, x.dtype),
         example,
@@ -99,6 +103,7 @@ def export_model(
         "batch_size": batch_size,
         "tile_size": tile_size,
         "format": "jax.export stablehlo",
+        "platforms": list(platforms),
         **extra,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))

@@ -128,9 +128,22 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
     return step
 
 
-def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
-    @infer_jit
-    def step(params, batch_stats, images_u8):
+def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
+                              p_high: float = 99.0):
+    """Grayscale (B, H, W) u8/float → (B, 299, 299, 3) inception-preprocessed.
+
+    The reference's ``_preprocess`` path (``train_adipose_classifier_v0.py:
+    251-298``): optional percentile norm → bilinear resize 299² → tile to
+    3 channels → ``preprocess_input`` scaling. Shared by the val/inference
+    step and the serving-bundle path (the exported classifier expects this
+    input, mirroring the ONNX classifier's host-side preprocessing,
+    ``classification_inference.py:288-320``).
+
+    Returns a PLAIN (unjitted) function so callers can embed it in their own
+    jitted step — ``infer_jit`` carries TPU compiler options, which JAX
+    rejects on nested jits. Standalone users wrap it themselves.
+    """
+    def preprocess(images_u8):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
             imgs = jax.vmap(
@@ -141,9 +154,19 @@ def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
                 ) * 255.0
             )(imgs)
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
-        x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+        return jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+
+    return preprocess
+
+
+def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
+    pre = make_inception_preprocess(percentile_norm, p_low, p_high)
+
+    @infer_jit
+    def step(params, batch_stats, images_u8):
         return model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=False
+            {"params": params, "batch_stats": batch_stats},
+            pre(images_u8), train=False,
         )
 
     return step

@@ -192,6 +192,47 @@ class TestServingExport:
         want = np.asarray(fn(params, x))
         assert np.abs(got - want).max() < 1e-5
 
+    def test_classify_bundle_handler(self, tmp_path, rng):
+        """`classify --bundle` end-to-end: tiny exported fn with the real
+        classifier serving signature (B, 299, 299, 3) → (B,) probs."""
+        import pandas as pd
+        from jax import export as jex
+
+        from adipose_tpu.train import checkpoint as ckpt
+
+        params = {"w": np.float32(0.7)}
+
+        def fn(p, x):
+            return jax.nn.sigmoid(p["w"] * jnp.mean(x, axis=(1, 2, 3)))
+
+        bundle = tmp_path / "bundle"
+        bundle.mkdir()
+        exported = jex.export(jax.jit(fn))(
+            {"w": jax.ShapeDtypeStruct((), np.float32)},
+            jax.ShapeDtypeStruct((2, 299, 299, 3), np.float32),
+        )
+        (bundle / "model.stablehlo").write_bytes(exported.serialize())
+        ckpt.save_params(bundle, "params", params)
+        (bundle / "manifest.json").write_text(json.dumps(
+            {"model_type": "classifier", "batch_size": 2}))
+
+        tiles = tmp_path / "tiles"
+        tiles.mkdir()
+        for i in range(3):  # odd count exercises last-chunk padding
+            cv2.imwrite(str(tiles / f"t{i}.png"),
+                        (rng.rand(64, 64) * 255).astype(np.uint8))
+        out_csv = tmp_path / "preds.csv"
+        parser = build_parser()
+        args = parser.parse_args([
+            "classify", "--bundle", str(bundle), "--input-dir", str(tiles),
+            "--output-csv", str(out_csv), "--batch-size", "7",
+        ])
+        COMMANDS[args.command](args)
+        df = pd.read_csv(out_csv)
+        assert len(df) == 3
+        assert set(df.columns) == {"file", "probability", "prediction"}
+        assert ((df.probability >= 0) & (df.probability <= 1)).all()
+
 
 class TestAnalysisCLI:
     def test_new_analysis_flags_parse(self):
