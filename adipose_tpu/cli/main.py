@@ -348,6 +348,8 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--output", required=True)
     ex.add_argument("--batch-size", type=int, default=1)
     ex.add_argument("--tile-size", type=int, default=1024)
+    ex.add_argument("--platforms", nargs="+", default=["tpu", "cpu"],
+                    help="lowering targets baked into the bundle")
 
     iw = sub.add_parser("import-weights", help="TF .weights.h5 → orbax checkpoint")
     iw.add_argument("--h5", required=True)
@@ -983,7 +985,8 @@ def cmd_export(args):
     from adipose_tpu.serving.export import export_model
 
     path = export_model(args.weights, args.model, args.output,
-                        batch_size=args.batch_size, tile_size=args.tile_size)
+                        batch_size=args.batch_size, tile_size=args.tile_size,
+                        platforms=tuple(args.platforms))
     print(f"exported {args.model} → {path}")
 
 
