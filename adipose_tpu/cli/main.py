@@ -195,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="basic")
     s.add_argument("--threshold", type=float, default=0.5)
     s.add_argument("--batch-size", type=int, default=8)
+    s.add_argument("--save-overlays", action="store_true",
+                   help="write overlays/<stem>_overlay.png")
+    s.add_argument("--overlay-color", default="cyan",
+                   choices=["cyan", "yellow", "magenta", "green", "red"])
+    s.add_argument("--save-probability", action="store_true",
+                   help="write probability_maps/<stem>_prob.tif")
 
     ci = sub.add_parser("classify", help="folder classification → CSV")
     ci.add_argument("--weights", default=None)
@@ -585,7 +591,18 @@ def cmd_segment(args):
         views = len(MODE_IDS.get(args.tta_mode, MODE_IDS["basic"]))
         args.batch_size = max(1, args.batch_size // views)
     in_dir, out_dir = Path(args.input_dir), Path(args.output_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    # reference output contract (segmentation_inference.py:49-52): masks/
+    # always; probability_maps/ and overlays/ behind their flags
+    masks_dir = out_dir / "masks"
+    masks_dir.mkdir(parents=True, exist_ok=True)
+    if args.save_probability:
+        (out_dir / "probability_maps").mkdir(exist_ok=True)
+    if args.save_overlays:
+        (out_dir / "overlays").mkdir(exist_ok=True)
+    # overlay colors (segmentation_inference.py:407-414)
+    overlay_rgb = {"cyan": (0, 255, 255), "yellow": (255, 255, 0),
+                   "magenta": (255, 0, 255), "green": (0, 255, 0),
+                   "red": (255, 0, 0)}[args.overlay_color]
     import jax.numpy as jnp
 
     files = sorted(
@@ -603,11 +620,18 @@ def cmd_segment(args):
         t0 = _time.time()
         preds = np.asarray(predict(params, jnp.asarray(batch)))[:n]
         dt = _time.time() - t0
-        for p, pred in zip(chunk, preds):
-            cv2.imwrite(str(out_dir / f"{p.stem}_prob.png"),
-                        (np.clip(pred, 0, 1) * 255).astype(np.uint8))
-            cv2.imwrite(str(out_dir / f"{p.stem}_mask.tif"),
-                        ((pred > args.threshold) * 255).astype(np.uint8))
+        for p, img, pred in zip(chunk, batch, preds):
+            mask = (pred > args.threshold).astype(np.uint8)
+            cv2.imwrite(str(masks_dir / f"{p.stem}_mask.tif"), mask)
+            if args.save_probability:
+                cv2.imwrite(str(out_dir / "probability_maps" / f"{p.stem}_prob.tif"),
+                            (np.clip(pred, 0, 1) * 255).astype(np.uint8))
+            if args.save_overlays:
+                from adipose_tpu.eval.visualize import color_overlay
+
+                ov = color_overlay(img, mask, overlay_rgb, alpha=0.4)
+                cv2.imwrite(str(out_dir / "overlays" / f"{p.stem}_overlay.png"),
+                            cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
         print(f"[{i + n}/{len(files)}] {dt / n:.3f}s/img")
 
 

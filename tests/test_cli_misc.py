@@ -192,6 +192,50 @@ class TestServingExport:
         want = np.asarray(fn(params, x))
         assert np.abs(got - want).max() < 1e-5
 
+    def test_segment_output_contract(self, tmp_path, rng):
+        """segment writes the reference layout (segmentation_inference.py:49-52):
+        masks/ always, probability_maps/ + overlays/ behind flags."""
+        from jax import export as jex
+
+        from adipose_tpu.train import checkpoint as ckpt
+
+        params = {"b": np.float32(0.0)}
+
+        def fn(p, tiles):
+            return jax.nn.sigmoid(tiles / 64.0 - 2.0 + p["b"])
+
+        bundle = tmp_path / "seg_bundle"
+        bundle.mkdir()
+        exported = jex.export(jax.jit(fn))(
+            {"b": jax.ShapeDtypeStruct((), np.float32)},
+            jax.ShapeDtypeStruct((2, 32, 32), np.float32),
+        )
+        (bundle / "model.stablehlo").write_bytes(exported.serialize())
+        ckpt.save_params(bundle, "params", params)
+        (bundle / "manifest.json").write_text(json.dumps(
+            {"model_type": "unet", "batch_size": 2}))
+
+        tiles = tmp_path / "in"
+        tiles.mkdir()
+        for i in range(3):
+            cv2.imwrite(str(tiles / f"t{i}.png"),
+                        (rng.rand(32, 32) * 255).astype(np.uint8))
+        out = tmp_path / "out"
+        parser = build_parser()
+        args = parser.parse_args([
+            "segment", "--bundle", str(bundle), "--input-dir", str(tiles),
+            "--output-dir", str(out), "--batch-size", "2",
+            "--save-probability", "--save-overlays", "--overlay-color", "green",
+        ])
+        COMMANDS[args.command](args)
+        for stem in ("t0", "t1", "t2"):
+            mask = cv2.imread(str(out / "masks" / f"{stem}_mask.tif"),
+                              cv2.IMREAD_UNCHANGED)
+            assert mask is not None and set(np.unique(mask)) <= {0, 1}
+            assert (out / "probability_maps" / f"{stem}_prob.tif").exists()
+            ov = cv2.imread(str(out / "overlays" / f"{stem}_overlay.png"))
+            assert ov is not None and ov.ndim == 3
+
     def test_classify_bundle_handler(self, tmp_path, rng):
         """`classify --bundle` end-to-end: tiny exported fn with the real
         classifier serving signature (B, 299, 299, 3) → (B,) probs."""
