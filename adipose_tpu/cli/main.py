@@ -208,9 +208,33 @@ def build_parser() -> argparse.ArgumentParser:
                     help="StableHLO export bundle (serving backend, the ONNX-"
                          "runtime-classifier analog); overrides --weights")
     ci.add_argument("--input-dir", required=True)
-    ci.add_argument("--output-csv", required=True)
+    ci.add_argument("--output-dir", default="classification_outputs",
+                    help="dir for predictions_{mode}{_tta}.csv "
+                         "(classification_inference.py:120-124)")
+    ci.add_argument("--output-csv", default=None,
+                    help="explicit CSV path (extension; overrides --output-dir "
+                         "naming)")
+    ci.add_argument("--pattern", default="**/*.jpg",
+                    help="glob pattern for image files (recursive)")
+    ci.add_argument("--use-rgb", action="store_false", dest="use_grayscale",
+                    help="feed RGB directly (legacy-classifier preprocessing)")
+    ci.add_argument("--use-grayscale", action="store_true", dest="use_grayscale",
+                    default=True,
+                    help="grayscale → 3-channel tile preprocessing (default)")
+    ci.add_argument("--threshold", type=float, default=0.5)
+    ci.add_argument("--dropout", type=float, default=0.4,
+                    help="head dropout rate (must match training)")
+    ci.add_argument("--percentile-norm", action="store_true",
+                    help="apply 1-99 percentile normalization before resize "
+                         "(training-val pipeline; the reference inference CLI "
+                         "skips it, classification_inference.py:288-320)")
     ci.add_argument("--use-tta", action="store_true")
-    ci.add_argument("--batch-size", type=int, default=16)
+    ci.add_argument("--tta-mode", choices=["basic", "full"], default="basic")
+    ci.add_argument("--save-visualizations", action="store_true",
+                    help="save positive tiles annotated with their probability "
+                         "(the reference declares this flag but never acts on "
+                         "it; here it works)")
+    ci.add_argument("--batch-size", type=int, default=32)
 
     r = sub.add_parser("reconstruct", help="rebuild full slides from tiles")
     r.add_argument("--weights", required=True)
@@ -636,26 +660,31 @@ def cmd_segment(args):
 
 
 def cmd_classify(args):
+    import cv2
     import numpy as np
     import pandas as pd
     import jax.numpy as jnp
 
+    from adipose_tpu.core.jitopts import infer_jit
     from adipose_tpu.eval.evaluator import read_image_gray
     from adipose_tpu.eval.tta import make_classifier_tta_predict
+    from adipose_tpu.train.trainer_classifier import make_inception_preprocess
+
+    # Preprocessing mirrors the reference inference CLI
+    # (classification_inference.py:288-320): resize 299² + inception scaling;
+    # grayscale mode tiles 1→3 channels; NO percentile norm unless asked.
+    pre = make_inception_preprocess(percentile_norm=args.percentile_norm)
 
     if args.bundle:
         # Serving path: the exported classifier takes inception-preprocessed
-        # (B, 299, 299, 3) input — host-side preprocessing mirrors the ONNX
-        # classifier's (classification_inference.py:288-320), here jitted.
-        from adipose_tpu.core.jitopts import infer_jit
+        # (B, 299, 299, 3) input (the ONNX-runtime-backend analog).
         from adipose_tpu.serving.export import load_exported
-        from adipose_tpu.train.trainer_classifier import make_inception_preprocess
 
         call, variables, manifest = load_exported(args.bundle)
-        pre = infer_jit(make_inception_preprocess())
+        pre_jit = infer_jit(pre)
 
         def predict(vars_, images):
-            return call(vars_, pre(images))
+            return call(vars_, pre_jit(images))
 
         mb = int(manifest.get("batch_size", args.batch_size))
         if mb != args.batch_size:
@@ -664,26 +693,29 @@ def cmd_classify(args):
     elif args.weights:
         from adipose_tpu.models.inception import InceptionV3Classifier
         from adipose_tpu.train import checkpoint as ckpt
-        from adipose_tpu.train.trainer_classifier import _make_val_step
 
         weights_path = ckpt.resolve_weights_path(args.weights)
         variables = ckpt.load_params(weights_path)
-        model = InceptionV3Classifier(dtype=jnp.bfloat16)
-        val_step = _make_val_step(model, True, 1.0, 99.0)
+        model = InceptionV3Classifier(dtype=jnp.bfloat16,
+                                      dropout_rate=args.dropout)
 
+        @infer_jit
         def predict(vars_, images):
-            return val_step(vars_["params"], vars_["batch_stats"], images)
+            return model.apply(
+                {"params": vars_["params"], "batch_stats": vars_["batch_stats"]},
+                pre(images), train=False,
+            )
     else:
         raise SystemExit("classify requires --weights or --bundle")
 
     if args.use_tta:
-        predict = make_classifier_tta_predict(predict, "full")
+        predict = make_classifier_tta_predict(predict, args.tta_mode)
         if args.bundle:
             # views fold into the fixed exported batch: chunk so that
             # n_views * chunk == manifest batch
-            from adipose_tpu.ops.d4 import MODE_IDS
+            from adipose_tpu.ops.d4 import CLASSIFIER_MODE_IDS
 
-            views = len(MODE_IDS["full"])
+            views = len(CLASSIFIER_MODE_IDS[args.tta_mode])
             if args.batch_size % views:
                 raise SystemExit(
                     f"--use-tta with --bundle needs the exported batch "
@@ -691,22 +723,76 @@ def cmd_classify(args):
                 )
             args.batch_size //= views
 
+    in_dir = Path(args.input_dir)
+    exts = (".jpg", ".jpeg", ".png", ".tif", ".tiff")
     files = sorted(
-        p for p in Path(args.input_dir).iterdir()
-        if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".tif", ".tiff")
+        p for p in in_dir.glob(args.pattern)
+        if p.is_file() and p.suffix.lower() in exts
     )
+    if not files:  # pattern may be extension-specific; retry over all exts
+        files = sorted(
+            p for p in in_dir.rglob("*") if p.is_file() and p.suffix.lower() in exts
+        )
+
+    def read(p):
+        if args.use_grayscale:
+            return read_image_gray(str(p))
+        img = cv2.imread(str(p), cv2.IMREAD_COLOR)
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
     rows = []
     for i in range(0, len(files), args.batch_size):
         chunk = files[i : i + args.batch_size]
-        batch = np.stack([read_image_gray(str(p)) for p in chunk])
+        batch = np.stack([read(p) for p in chunk])
         n = batch.shape[0]
         if n < args.batch_size:
             batch = np.concatenate([batch, np.repeat(batch[-1:], args.batch_size - n, 0)])
         probs = np.asarray(predict(variables, jnp.asarray(batch)))[:n]
-        rows.extend({"file": p.name, "probability": float(pr),
-                     "prediction": int(pr >= 0.5)} for p, pr in zip(chunk, probs))
-    pd.DataFrame(rows).to_csv(args.output_csv, index=False)
-    print(f"wrote {len(rows)} predictions to {args.output_csv}")
+        for p, pr in zip(chunk, probs):
+            bp = int(pr >= args.threshold)
+            rows.append({
+                "image_path": str(p),
+                "adipose_probability": float(pr),
+                "binary_prediction": bp,
+                "is_adipose": "adipose" if bp else "not_adipose",
+            })
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.output_csv:
+        csv_path = Path(args.output_csv)
+        csv_path.parent.mkdir(parents=True, exist_ok=True)
+    else:
+        # reference CSV naming: predictions_{mode}{_tta}.csv
+        # (classification_inference.py:482-484)
+        mode_str = "grayscale" if args.use_grayscale else "rgb"
+        tta_str = "_tta" if args.use_tta else ""
+        csv_path = out_dir / f"predictions_{mode_str}{tta_str}.csv"
+    pd.DataFrame(rows, columns=["image_path", "adipose_probability",
+                                "binary_prediction", "is_adipose"],
+                 ).to_csv(csv_path, index=False)
+    print(f"wrote {len(rows)} predictions to {csv_path}")
+
+    if args.save_visualizations:
+        # the reference declares --save-visualizations but never acts on it;
+        # here: positive tiles annotated with their probability
+        viz = out_dir / "visualizations"
+        viz.mkdir(exist_ok=True)
+        for r in rows:
+            if not r["binary_prediction"]:
+                continue
+            img = cv2.imread(r["image_path"], cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            cv2.putText(img, f"p={r['adipose_probability']:.3f}", (8, 28),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 255, 255), 2)
+            cv2.imwrite(str(viz / Path(r["image_path"]).name), img)
+
+    if rows:
+        probs_all = np.array([r["adipose_probability"] for r in rows])
+        n_pos = int(sum(r["binary_prediction"] for r in rows))
+        print(f"total {len(rows)} | adipose {n_pos} "
+              f"({100 * n_pos / len(rows):.1f}%) | mean prob {probs_all.mean():.4f}")
 
 
 def cmd_reconstruct(args):
@@ -771,13 +857,24 @@ def cmd_classification_overlay(args):
 
     wsi = cv2.imread(args.wsi, cv2.IMREAD_UNCHANGED)
     df = pd.read_csv(args.predictions_csv)
-    label_col = "label" if "label" in df.columns else "prediction"
-    results = [
-        (row["file"], int(row.get("label", row["prediction"])),
-         int(row["probability"] >= args.threshold)
-         if "probability" in df.columns else int(row["prediction"]))
-        for _, row in df.iterrows()
-    ]
+    # accept the three CSV dialects: the reference evaluator's
+    # (path/label/prob, reconstruct_wsi_classification.py:223-225), the
+    # inference CLI's (image_path/adipose_probability/binary_prediction),
+    # and bare file/probability/prediction
+    def col(row, *names, default=None):
+        for nm in names:
+            if nm in row and not pd.isna(row[nm]):
+                return row[nm]
+        return default
+
+    results = []
+    for _, row in df.iterrows():
+        fname = Path(str(col(row, "path", "image_path", "file"))).name
+        prob = col(row, "prob", "adipose_probability", "probability")
+        pred = (int(float(prob) >= args.threshold) if prob is not None
+                else int(col(row, "binary_prediction", "prediction", default=0)))
+        label = int(col(row, "label", default=pred))
+        results.append((fname, label, pred))
     out = create_overlay(wsi, results, args.tile_size, args.combine)
     cv2.imwrite(args.output, out)
     print(f"wrote {args.output}")

@@ -22,15 +22,40 @@ TPU_INFER_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
 TPU_TRAIN_COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
+def _trace_state_clean() -> bool:
+    try:
+        from jax._src.core import trace_state_clean
+
+        return trace_state_clean()
+    except Exception:
+        return True
+
+
 def _options_jit(options):
     def jit_like(fun=None, **jit_kwargs):
         def wrap(f):
             kw = dict(jit_kwargs)
-            if jax.default_backend() == "tpu":
-                opts = dict(options)
-                opts.update(kw.pop("compiler_options", {}) or {})
-                kw["compiler_options"] = opts
-            return jax.jit(f, **kw)
+            opts = dict(options)
+            opts.update(kw.pop("compiler_options", {}) or {})
+            if jax.default_backend() != "tpu":
+                return jax.jit(f, **kw)
+            tuned = jax.jit(f, compiler_options=opts, **kw)
+            plain = jax.jit(f, **kw)
+
+            # XLA rejects compiler_options on a jit nested inside another
+            # trace; these wrappers compose freely (e.g. an infer_jit'ed
+            # predict inside an infer_jit'ed TTA program), so dispatch on
+            # trace state: tuned program at top level, plain (inlined) jit
+            # when already tracing.
+            import functools
+
+            @functools.wraps(f)
+            def dispatch(*a, **k):
+                return tuned(*a, **k) if _trace_state_clean() else plain(*a, **k)
+
+            dispatch.tuned = tuned
+            dispatch.plain = plain
+            return dispatch
 
         return wrap(fun) if fun is not None else wrap
 

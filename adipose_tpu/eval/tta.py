@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from adipose_tpu.core.jitopts import infer_jit
-from adipose_tpu.ops.d4 import MODE_IDS, apply_transform, invert_transform
+from adipose_tpu.ops.d4 import (CLASSIFIER_MODE_IDS, MODE_IDS, apply_transform,
+                                invert_transform)
 
 
 def make_tta_predict(predict_fn, mode: str = "basic"):
@@ -58,9 +59,11 @@ def make_classifier_tta_predict(predict_fn, mode: str = "full", logit_space: boo
 
     The reference ensembles snapshot predictions in logit space
     (``eval_adipose_classifier.py:324-336``); per-view averaging here follows
-    the same convention when ``logit_space`` is set.
+    the same convention when ``logit_space`` is set. Modes are the classifier
+    ones — 'basic' four rotations, 'full' all eight D4 members
+    (``classification_inference.py:323-348``).
     """
-    ids = MODE_IDS[mode if mode in MODE_IDS else "full"]
+    ids = CLASSIFIER_MODE_IDS.get(mode, CLASSIFIER_MODE_IDS["full"])
     ids_arr = jnp.asarray(ids, jnp.int32)
     n = len(ids)
 

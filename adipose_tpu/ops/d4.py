@@ -99,3 +99,11 @@ MODE_IDS = {
     "basic": (0, 4, 6, 1),
     "full": (0, 1, 2, 3, 4, 5, 6, 7),
 }
+
+# Classifier TTA modes differ from the segmentation ones: 'basic' is the four
+# rotations, 'full' adds their horizontal flips
+# (classification_inference.py:323-348).
+CLASSIFIER_MODE_IDS = {
+    "basic": (0, 1, 2, 3),
+    "full": (0, 1, 2, 3, 4, 5, 6, 7),
+}

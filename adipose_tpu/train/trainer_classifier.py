@@ -130,7 +130,8 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
 
 def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
                               p_high: float = 99.0):
-    """Grayscale (B, H, W) u8/float → (B, 299, 299, 3) inception-preprocessed.
+    """(B, H, W) grayscale or (B, H, W, 3) RGB u8/float → (B, 299, 299, 3)
+    inception-preprocessed.
 
     The reference's ``_preprocess`` path (``train_adipose_classifier_v0.py:
     251-298``): optional percentile norm → bilinear resize 299² → tile to
@@ -153,6 +154,9 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
                     0.0, 1.0,
                 ) * 255.0
             )(imgs)
+        if imgs.ndim == 4:  # (B, H, W, 3) RGB — legacy-classifier path, no tiling
+            x = jax.image.resize(imgs, (imgs.shape[0], 299, 299, 3), "bilinear")
+            return x / 127.5 - 1.0
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
         return jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
 

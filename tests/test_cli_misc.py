@@ -50,6 +50,18 @@ class TestCLI:
             "--boundary-refine", "--adaptive-threshold", "--ema",
         ])
         assert args.tta_mode == "full" and args.adaptive_threshold
+        # classification_inference.py flag surface
+        args = parser.parse_args([
+            "classify", "--weights", "/w", "--input-dir", "/x",
+            "--output-dir", "/y", "--pattern", "**/*.png", "--use-rgb",
+            "--threshold", "0.4", "--dropout", "0.4", "--use-tta",
+            "--tta-mode", "full", "--save-visualizations",
+        ])
+        assert not args.use_grayscale and args.tta_mode == "full"
+        assert args.pattern == "**/*.png" and args.save_visualizations
+        assert parser.parse_args(
+            ["classify", "--weights", "/w", "--input-dir", "/x"]
+        ).use_grayscale
 
     def test_help_does_not_require_jax_models(self, capsys):
         with pytest.raises(SystemExit):
@@ -265,17 +277,52 @@ class TestServingExport:
         for i in range(3):  # odd count exercises last-chunk padding
             cv2.imwrite(str(tiles / f"t{i}.png"),
                         (rng.rand(64, 64) * 255).astype(np.uint8))
-        out_csv = tmp_path / "preds.csv"
         parser = build_parser()
         args = parser.parse_args([
             "classify", "--bundle", str(bundle), "--input-dir", str(tiles),
-            "--output-csv", str(out_csv), "--batch-size", "7",
+            "--output-dir", str(tmp_path / "out"), "--batch-size", "7",
         ])
         COMMANDS[args.command](args)
-        df = pd.read_csv(out_csv)
+        # reference CSV naming + schema (classification_inference.py:482-505)
+        df = pd.read_csv(tmp_path / "out" / "predictions_grayscale.csv")
         assert len(df) == 3
-        assert set(df.columns) == {"file", "probability", "prediction"}
-        assert ((df.probability >= 0) & (df.probability <= 1)).all()
+        assert list(df.columns) == ["image_path", "adipose_probability",
+                                    "binary_prediction", "is_adipose"]
+        assert ((df.adipose_probability >= 0) & (df.adipose_probability <= 1)).all()
+        assert set(df.is_adipose) <= {"adipose", "not_adipose"}
+
+
+class TestClassificationOverlayCLI:
+    @pytest.mark.parametrize("cols", [
+        ("path", "label", "prob"),                                  # evaluator
+        ("image_path", None, "adipose_probability"),                # classify CLI
+        ("file", None, "probability"),                              # bare
+    ])
+    def test_overlay_handler_csv_dialects(self, tmp_path, rng, cols, capsys):
+        import pandas as pd
+
+        path_c, label_c, prob_c = cols
+        rows = []
+        for r in range(2):
+            for c in range(2):
+                row = {path_c: f"tiles/w_r{r}_c{c}.jpg",
+                       prob_c: float(rng.rand())}
+                if label_c:
+                    row[label_c] = int((r + c) % 2)
+                rows.append(row)
+        csv = tmp_path / "preds.csv"
+        pd.DataFrame(rows).to_csv(csv, index=False)
+        wsi = tmp_path / "wsi.png"
+        cv2.imwrite(str(wsi), (rng.rand(64, 64) * 255).astype(np.uint8))
+        out = tmp_path / "ov.png"
+        parser = build_parser()
+        args = parser.parse_args([
+            "classification-overlay", "--wsi", str(wsi),
+            "--predictions-csv", str(csv), "--output", str(out),
+            "--tile-size", "32",
+        ])
+        COMMANDS[args.command](args)
+        assert cv2.imread(str(out)) is not None
 
 
 class TestAnalysisCLI:
