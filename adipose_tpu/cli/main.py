@@ -157,16 +157,39 @@ def build_parser() -> argparse.ArgumentParser:
 
     cl = sub.add_parser("eval-classifier", help="classifier test evaluation")
     cl.add_argument("--weights", required=True)
-    cl.add_argument("--dataset-root", required=True)
+    cl.add_argument("--dataset-root", default=None)
     cl.add_argument("--split", default="test")
+    cl.add_argument("--test-dir", default=None,
+                    help="direct path to a dir with adipose/ and not_adipose/ "
+                         "(reference flag; overrides --dataset-root/--split)")
+    cl.add_argument("--batch-size", type=int, default=64)
+    cl.add_argument("--dropout", type=float, default=0.4)
     cl.add_argument("--use-tta", type=_bool, default=True)
-    cl.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="full")
+    cl.add_argument("--tta-mode", choices=["basic", "full"], default="full")
+    cl.add_argument("--tta", choices=["none", "basic", "full"], default=None,
+                    help="reference-style mode (overrides --use-tta/--tta-mode; "
+                         "'none' disables TTA)")
     cl.add_argument("--calibration", choices=["temperature", "platt", "isotonic"],
                     default=None)
+    cl.add_argument("--calibration-val-root", default=None,
+                    help="dataset root whose split supplies calibration tiles "
+                         "(eval_adipose_classifier.py:790-795); without it, "
+                         "calibration splits the test set internally")
+    cl.add_argument("--calibration-val-split", default="val")
     cl.add_argument("--snapshot", action="append", default=[],
                     help="extra checkpoint(s) to ensemble in logit space "
                          "(repeatable; eval_adipose_classifier.py:128,324-336)")
-    cl.add_argument("--output", default=None)
+    cl.add_argument("--slide-map", default=None,
+                    help="CSV tile,slide_id map for slide-level aggregation")
+    cl.add_argument("--save-plots", action="store_true", default=True)
+    cl.add_argument("--no-plots", dest="save_plots", action="store_false")
+    cl.add_argument("--save-examples", action="store_true", default=True)
+    cl.add_argument("--no-examples", dest="save_examples", action="store_false")
+    cl.add_argument("--num-examples", type=int, default=10)
+    cl.add_argument("--percentile-norm", type=_bool, default=True)
+    cl.add_argument("--percentile-low", type=float, default=1.0)
+    cl.add_argument("--percentile-high", type=float, default=99.0)
+    cl.add_argument("--output", "--output-dir", dest="output", default=None)
 
     tce = sub.add_parser("tile-classification-eval",
                          help="score the segmenter as a tile classifier")
@@ -189,7 +212,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--bundle", default=None,
                    help="StableHLO export bundle (serving backend, the ONNX-"
                         "runtime-predictor analog); overrides --weights")
-    s.add_argument("--input-dir", required=True)
+    s.add_argument("--input-dir", "--images-dir", dest="input_dir",
+                   required=True,
+                   help="tile folder (reference name: --images-dir)")
     s.add_argument("--output-dir", required=True)
     s.add_argument("--use-tta", action="store_true")
     s.add_argument("--tta-mode", choices=["minimal", "basic", "full"], default="basic")
@@ -535,30 +560,58 @@ def cmd_evaluate_checkpoints(args):
 def cmd_eval_classifier(args):
     import jax.numpy as jnp
 
+    from adipose_tpu.core.jitopts import infer_jit
     from adipose_tpu.data.loader import ClassificationDataset
     from adipose_tpu.eval.classifier_eval import run_classifier_evaluation
     from adipose_tpu.models.inception import InceptionV3Classifier
     from adipose_tpu.train import checkpoint as ckpt
-    from adipose_tpu.train.state import make_classifier_predict
-    from adipose_tpu.train.trainer_classifier import _make_val_step
+    from adipose_tpu.train.trainer_classifier import make_inception_preprocess
+
+    if args.tta is not None:  # reference-style --tta none|basic|full
+        args.use_tta = args.tta != "none"
+        if args.use_tta:
+            args.tta_mode = args.tta
+    if not (args.test_dir or args.dataset_root):
+        raise SystemExit("eval-classifier requires --test-dir or --dataset-root")
 
     weights_path = ckpt.resolve_weights_path(args.weights)
     snapshots = [ckpt.load_params(weights_path)]
     for extra in args.snapshot:
         snapshots.append(ckpt.load_params(ckpt.resolve_weights_path(extra)))
-    model = InceptionV3Classifier(dtype=jnp.bfloat16)
-    val_step = _make_val_step(model, True, 1.0, 99.0)
+    model = InceptionV3Classifier(dtype=jnp.bfloat16, dropout_rate=args.dropout)
+    pre = make_inception_preprocess(args.percentile_norm, args.percentile_low,
+                                    args.percentile_high)
 
+    @infer_jit
     def predict(vars_, images):
-        return val_step(vars_["params"], vars_["batch_stats"], images)
+        return model.apply(
+            {"params": vars_["params"], "batch_stats": vars_["batch_stats"]},
+            pre(images), train=False,
+        )
 
-    ds = ClassificationDataset(Path(args.dataset_root) / args.split, 16)
+    test_dir = Path(args.test_dir) if args.test_dir else (
+        Path(args.dataset_root) / args.split)
+    ds = ClassificationDataset(test_dir, args.batch_size)
+    cal_ds = None
+    if args.calibration and args.calibration_val_root:
+        cal_ds = ClassificationDataset(
+            Path(args.calibration_val_root) / args.calibration_val_split,
+            args.batch_size,
+        )
+    slide_map = None
+    if args.slide_map:
+        import pandas as pd
+
+        m = pd.read_csv(args.slide_map)
+        slide_map = dict(zip(m["tile"].astype(str), m["slide_id"].astype(str)))
     out = args.output or (Path(weights_path).parent / "evaluation" /
-                          f"{args.split}_tta_{args.tta_mode}")
+                          f"{test_dir.name}_tta_{args.tta_mode}")
     results = run_classifier_evaluation(
         predict, snapshots, ds, out,
         tta_mode=args.tta_mode, use_tta=args.use_tta,
-        calibration=args.calibration,
+        calibration=args.calibration, calibration_dataset=cal_ds,
+        save_examples=args.save_examples, num_examples=args.num_examples,
+        slide_map=slide_map, plots=args.save_plots,
     )
     print(json.dumps({k: results[k] for k in ("roc_auc", "pr_auc", "best_threshold")},
                      indent=2))

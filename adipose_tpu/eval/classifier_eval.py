@@ -144,11 +144,24 @@ def compute_class_statistics(labels: np.ndarray, probs: np.ndarray) -> dict:
     return out
 
 
-def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray) -> dict:
-    """Slide-level mean probability + majority label (:554 analog)."""
+def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray,
+                       slide_map: dict | None = None) -> dict:
+    """Slide-level probability summary (:554-585).
+
+    ``slide_map``: optional tile-stem → slide-id mapping (the ``--slide-map``
+    CSV, columns ``tile,slide_id``); tiles absent from the map are skipped,
+    matching the reference. Without a map, slide ids are inferred from the
+    filename.
+    """
     groups: dict = {}
     for f, lab, p in zip(files, labels, probs):
-        groups.setdefault(extract_slide_base(str(f)), []).append((lab, p))
+        if slide_map is not None:
+            slide = slide_map.get(Path(str(f)).stem)
+            if slide is None:
+                continue
+        else:
+            slide = extract_slide_base(str(f))
+        groups.setdefault(slide, []).append((lab, p))
     out = {}
     for slide, items in groups.items():
         labs = np.array([l for l, _ in items])
@@ -156,6 +169,7 @@ def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray) -> dict:
         out[slide] = {
             "n_tiles": len(items),
             "mean_prob": float(ps.mean()),
+            "median_prob": float(np.median(ps)),
             "frac_positive_tiles": float(labs.mean()),
         }
     return out
@@ -221,31 +235,61 @@ def run_classifier_evaluation(
     use_tta: bool = True,
     calibration: str | None = None,
     calibration_split: float = 0.3,
+    calibration_dataset=None,
     save_examples: bool = True,
+    num_examples: int = 20,
     slide_aggregate: bool = True,
+    slide_map: dict | None = None,
+    plots: bool = True,
     seed: int = 865,
 ) -> dict:
     """Full evaluation driver. ``variables_list``: one or more model snapshots
-    (>1 ⇒ logit-space ensembling)."""
+    (>1 ⇒ logit-space ensembling).
+
+    Calibration: with ``calibration_dataset`` (the reference flow,
+    ``eval_adipose_classifier.py:790-814``), the calibrator is fit on that
+    held-out set with the identical TTA+ensemble pipeline and the FULL test
+    set is evaluated calibrated. Without one, falls back to an internal
+    ``calibration_split`` of the test set (our extension — the reference
+    errors out instead).
+    """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    prob_list = []
-    labels = None
-    for variables in variables_list:
-        if use_tta:
-            probs, labels = predict_with_tta(predict_fn, variables, dataset, tta_mode)
-        else:
-            ps, ls = [], []
-            for imgs, labs in dataset.epoch_batches(0, shuffle=False):
-                ps.append(np.asarray(predict_fn(variables, jnp.asarray(imgs.astype(np.float32)))))
-                ls.append(labs)
-            probs, labels = np.concatenate(ps)[: len(dataset)], np.concatenate(ls)[: len(dataset)]
-        prob_list.append(probs)
-    probs = ensemble_snapshots(prob_list) if len(prob_list) > 1 else prob_list[0]
+    def collect(ds):
+        prob_list = []
+        labels = None
+        for variables in variables_list:
+            if use_tta:
+                probs, labels = predict_with_tta(predict_fn, variables, ds, tta_mode)
+            else:
+                ps, ls = [], []
+                for imgs, labs in ds.epoch_batches(0, shuffle=False):
+                    ps.append(np.asarray(predict_fn(variables, jnp.asarray(imgs.astype(np.float32)))))
+                    ls.append(labs)
+                probs, labels = np.concatenate(ps)[: len(ds)], np.concatenate(ls)[: len(ds)]
+            prob_list.append(probs)
+        return (ensemble_snapshots(prob_list) if len(prob_list) > 1
+                else prob_list[0]), labels
+
+    probs, labels = collect(dataset)
 
     calibrator_info = None
-    if calibration:
+    if calibration and calibration_dataset is not None:
+        from sklearn import metrics as skm
+
+        cal_probs, cal_labels = collect(calibration_dataset)
+        calibrator = fit_calibrator(cal_probs, cal_labels, calibration)
+        cal_applied = apply_calibrator(cal_probs, calibrator)
+        calibrator_info = {
+            "method": calibrator[0], "info": calibrator[2],
+            "val_calibrated_auc": float(skm.roc_auc_score(cal_labels, cal_applied)),
+            "val_calibrated_pr_auc": float(
+                skm.average_precision_score(cal_labels, cal_applied)),
+        }
+        probs_eval = apply_calibrator(probs, calibrator)
+        labels_eval, files_eval = labels, list(dataset.files)
+    elif calibration:
         rng = np.random.RandomState(seed)
         idx = rng.permutation(len(probs))
         n_cal = int(len(probs) * calibration_split)
@@ -262,12 +306,15 @@ def run_classifier_evaluation(
     results["class_statistics"] = compute_class_statistics(labels_eval, probs_eval)
     results["calibration"] = calibrator_info
     if slide_aggregate:
-        results["slide_level"] = aggregate_by_slide(files_eval, labels_eval, probs_eval)
+        results["slide_level"] = aggregate_by_slide(
+            files_eval, labels_eval, probs_eval, slide_map)
 
-    save_plots(labels_eval, probs_eval, output_dir)
+    if plots:
+        save_plots(labels_eval, probs_eval, output_dir)
     if save_examples:
         results["example_counts"] = dump_examples(
-            files_eval, labels_eval, probs_eval, results["best_threshold"], output_dir
+            files_eval, labels_eval, probs_eval, results["best_threshold"],
+            output_dir, max_per_category=num_examples,
         )
     import pandas as pd
 

@@ -2,6 +2,7 @@
 example dumps; seg-as-classifier eval; batch checkpoint evaluation."""
 
 import json
+from pathlib import Path
 
 import cv2
 import jax.numpy as jnp
@@ -98,7 +99,7 @@ class TestClassifierEval:
 
         results = run_classifier_evaluation(
             predict, [None], ds, tmp_path / "out",
-            tta_mode="minimal", calibration="platt", calibration_split=0.3,
+            tta_mode="basic", calibration="platt", calibration_split=0.3,
         )
         assert results["roc_auc"] > 0.9  # separable by construction
         assert (tmp_path / "out" / "metrics.json").exists()
@@ -106,6 +107,43 @@ class TestClassifierEval:
         assert (tmp_path / "out" / "roc_curve.png").exists()
         assert results["calibration"]["method"] == "platt"
         assert "slide_level" in results
+
+    def test_driver_external_calibration_and_slide_map(self, tmp_path, rng):
+        """Reference calibration flow (eval_adipose_classifier.py:790-814):
+        fit on a held-out val set, evaluate the FULL test set; plus --slide-map
+        aggregation and --no-plots/--num-examples knobs."""
+        import pandas as pd
+
+        for split in ("test", "val"):
+            for cls, base in (("adipose", 200), ("not_adipose", 60)):
+                d = tmp_path / split / cls
+                d.mkdir(parents=True)
+                for i in range(6):
+                    img = np.full((32, 32), base, np.uint8)
+                    img += rng.randint(0, 30, (32, 32)).astype(np.uint8)
+                    cv2.imwrite(str(d / f"{split}s{i % 2}_r{i}_c0.jpg"), img)
+        from adipose_tpu.data.loader import ClassificationDataset
+
+        ds = ClassificationDataset(tmp_path / "test", 4)
+        cal = ClassificationDataset(tmp_path / "val", 4)
+        slide_map = {Path(f).stem: f"slide{i % 2}" for i, f in enumerate(ds.files)}
+
+        def predict(variables, images):
+            return jnp.clip(jnp.mean(images, axis=(1, 2)) / 255.0, 0.01, 0.99)
+
+        results = run_classifier_evaluation(
+            predict, [None], ds, tmp_path / "out2",
+            tta_mode="basic", calibration="temperature", calibration_dataset=cal,
+            slide_map=slide_map, plots=False, num_examples=2,
+        )
+        # full test set evaluated (no internal split)
+        df = pd.read_csv(tmp_path / "out2" / "predictions.csv")
+        assert len(df) == len(ds.files)
+        assert "val_calibrated_auc" in results["calibration"]
+        assert set(results["slide_level"]) == {"slide0", "slide1"}
+        assert "median_prob" in results["slide_level"]["slide0"]
+        assert not (tmp_path / "out2" / "roc_curve.png").exists()
+        assert all(v <= 2 for v in results["example_counts"].values())
 
 
 class TestTileClassification:
