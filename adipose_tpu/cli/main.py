@@ -54,17 +54,89 @@ def build_parser() -> argparse.ArgumentParser:
     # -- dataset builds -------------------------------------------------------
     b = sub.add_parser("build-dataset", help="build segmentation tile dataset")
     b.add_argument("--data-root", required=True)
+    b.add_argument("--input-images-dir", default=None,
+                   help="override for the Pseudocolored/ images dir")
+    b.add_argument("--input-masks-dir", default=None,
+                   help="override for the Masks/ JSON dir")
+    b.add_argument("--output-root", default=None,
+                   help="parent for the _build_<ts> dir (default: data root)")
+    b.add_argument("--out-parent", default=None,
+                   help="alias of --output-root (our original name)")
+    # mask building (build_dataset.py DEFAULTS :159-198)
+    b.add_argument("--make-masks", dest="make_masks", action="store_true",
+                   default=True)
+    b.add_argument("--no-make-masks", dest="make_masks", action="store_false")
+    b.add_argument("--make-overlays", dest="make_overlays", action="store_true",
+                   default=False)
+    b.add_argument("--no-overlays", dest="make_overlays", action="store_false")
+    b.add_argument("--target-mask", default="fat",
+                   choices=["bubbles", "fat", "muscle"])
+    b.add_argument("--subtract", dest="subtract", action="store_true", default=True)
+    b.add_argument("--no-subtract", dest="subtract", action="store_false")
+    b.add_argument("--subtract-class", default="bubbles",
+                   choices=["bubbles", "fat", "muscle"])
+    b.add_argument("--subtract-masks-dir", default=None)
+    b.add_argument("--morph-close-k", type=int, default=0)
+    b.add_argument("--min-cc-px", type=int, default=0)
+    # tiling + filtering
     b.add_argument("--tile-size", type=int, default=1024)
     b.add_argument("--stride", type=int, default=1024)
-    b.add_argument("--min-confidence-train", type=int, default=1)
-    b.add_argument("--min-confidence-eval", type=int, default=2)
-    b.add_argument("--neg-pct", type=float, default=0.40)
+    b.add_argument("--white-th", dest="white_threshold", type=int, default=235)
+    b.add_argument("--white-ratio", dest="white_ratio_limit", type=float,
+                   default=0.70)
+    b.add_argument("--blur-th", dest="blurry_threshold", type=float, default=7.5)
     b.add_argument("--min-mask-ratio", type=float, default=0.05)
-    b.add_argument("--val-ratio", type=float, default=0.15)
-    b.add_argument("--test-ratio", type=float, default=0.15)
-    b.add_argument("--apply-stain-norm", type=_bool, default=False)
+    b.add_argument("--keep-white", action="store_true", default=True)
+    b.add_argument("--drop-white", action="store_false", dest="keep_white")
+    b.add_argument("--keep-blurry", action="store_true", default=True)
+    b.add_argument("--drop-blurry", action="store_false", dest="keep_blurry")
+    b.add_argument("--jpeg-quality", type=int, default=100)
+    b.add_argument("--invert-input", action="store_true")
+    # split
+    b.add_argument("--val-ratio", type=float, default=0.20)
+    b.add_argument("--test-ratio", type=float, default=0.0)
     b.add_argument("--seed", type=int, default=None)
-    b.add_argument("--out-parent", default=".")
+    b.add_argument("--split-by-slide", dest="split_by_slide",
+                   action="store_true", default=True)
+    b.add_argument("--no-split-by-slide", dest="split_by_slide",
+                   action="store_false")
+    b.add_argument("--include-test-set", dest="include_test_set",
+                   action="store_true", default=False)
+    b.add_argument("--no-include-test-set", dest="include_test_set",
+                   action="store_false")
+    b.add_argument("--exclude-test-duplicates", type=_bool, default=True)
+    b.add_argument("--channel", choices=["ecm", "pseudocolored"],
+                   default="pseudocolored")
+    # IO/perf
+    b.add_argument("--compression", choices=["auto", "lzw", "packbits", "none"],
+                   default="auto")
+    b.add_argument("--workers", type=int, default=None)
+    b.add_argument("--neg-pct", type=float, default=0.40)
+    # stain normalization
+    b.add_argument("--stain-normalize", dest="stain_normalize",
+                   action="store_true", default=True)
+    b.add_argument("--no-stain-normalize", dest="stain_normalize",
+                   action="store_false")
+    b.add_argument("--apply-stain-norm", type=_bool, default=None,
+                   help="alias of --stain-normalize/--no-stain-normalize "
+                        "(our original bool flag)")
+    b.add_argument("--reference-path", default=None)
+    b.add_argument("--reference-metadata", default=None)
+    # confidence
+    b.add_argument("--min-confidence-train", type=int, default=1,
+                   choices=[1, 2, 3])
+    b.add_argument("--min-confidence-val", "--min-confidence-eval",
+                   dest="min_confidence_val", type=int, default=2,
+                   choices=[1, 2, 3])
+    # test-split-specific
+    b.add_argument("--test-min-mask-ratio", type=float, default=0.0)
+    b.add_argument("--test-stride", type=int, default=1024)
+    b.add_argument("--test-neg-pct", type=float, default=1.0)
+    b.add_argument("--test-min-confidence", type=int, default=2,
+                   choices=[1, 2, 3])
+    b.add_argument("--test-include-white", action="store_true", default=False)
+    b.add_argument("--test-include-blurry", action="store_true", default=False)
+    b.add_argument("--include-ambiguous", action="store_true", default=False)
 
     c = sub.add_parser("build-class-dataset", help="build classification tile dataset")
     c.add_argument("--data-root", required=True)
@@ -424,17 +496,47 @@ def cmd_build_dataset(args):
     from adipose_tpu.core.seeding import get_project_seed
     from adipose_tpu.data.tiling import SegmentationDatasetBuilder
 
+    if args.subtract and args.subtract_class == args.target_mask:
+        raise SystemExit(f"cannot subtract '{args.subtract_class}' from itself "
+                         f"(use --no-subtract)")
+    stain = (args.apply_stain_norm if args.apply_stain_norm is not None
+             else args.stain_normalize)
     cfg = DataBuildConfig(
         tile_size=args.tile_size, stride=args.stride,
         min_confidence_train=args.min_confidence_train,
-        min_confidence_eval=args.min_confidence_eval,
+        min_confidence_eval=args.min_confidence_val,
+        white_threshold=args.white_threshold,
+        white_ratio=args.white_ratio_limit,
+        blur_threshold=args.blurry_threshold,
         negative_fraction=args.neg_pct, ambiguous_high=args.min_mask_ratio,
         val_fraction=args.val_ratio, test_fraction=args.test_ratio,
-        apply_stain_norm=args.apply_stain_norm,
+        apply_stain_norm=stain,
         seed=args.seed if args.seed is not None else get_project_seed(),
+        make_masks=args.make_masks, make_overlays=args.make_overlays,
+        target_mask=args.target_mask, subtract=args.subtract,
+        subtract_class=args.subtract_class,
+        subtract_masks_dir=args.subtract_masks_dir,
+        morph_close_k=args.morph_close_k, min_cc_px=args.min_cc_px,
+        jpeg_quality=args.jpeg_quality, invert_input=args.invert_input,
+        keep_white=args.keep_white, keep_blurry=args.keep_blurry,
+        compression=args.compression, workers=args.workers,
+        split_by_slide=args.split_by_slide,
+        include_test_set=args.include_test_set,
+        exclude_test_duplicates=args.exclude_test_duplicates,
+        channel=args.channel,
+        reference_path=args.reference_path,
+        reference_metadata=args.reference_metadata,
+        test_min_mask_ratio=args.test_min_mask_ratio,
+        test_stride=args.test_stride, test_neg_pct=args.test_neg_pct,
+        test_min_confidence=args.test_min_confidence,
+        test_include_white=args.test_include_white,
+        test_include_blurry=args.test_include_blurry,
+        include_ambiguous=args.include_ambiguous,
     )
-    builder = SegmentationDatasetBuilder(cfg, out_parent=args.out_parent)
-    root = builder.build(args.data_root)
+    out_parent = args.output_root or args.out_parent or args.data_root
+    builder = SegmentationDatasetBuilder(cfg, out_parent=out_parent)
+    root = builder.build(args.data_root, images_dir=args.input_images_dir,
+                         masks_dir=args.input_masks_dir)
     print(f"build complete: {root}")
     print((root / "build_summary.txt").read_text())
 

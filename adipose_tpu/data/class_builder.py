@@ -58,8 +58,19 @@ class ClassificationDatasetBuilder:
         self.stats = ClassBuildStats()
 
     def build(self, data_root: str | Path) -> Path:
+        import dataclasses
+
         cfg = self.cfg
-        seg = SegmentationDatasetBuilder(cfg, build_root=self.build_root / "_tmp")
+        # the seg builder is used as a tiling helper only — suppress its mask/
+        # QA artifact writes (they'd land in _tmp/)
+        # ambiguous_high=0: classification labels purely by coverage threshold
+        # (build_class_dataset.py:683-690) — no ambiguity gate
+        seg = SegmentationDatasetBuilder(
+            dataclasses.replace(cfg, make_masks=False, make_overlays=False,
+                                keep_white=False, keep_blurry=False,
+                                ambiguous_high=0.0),
+            build_root=self.build_root / "_tmp",
+        )
         slides = discover_slides(data_root, cfg.min_confidence_train)
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
@@ -69,12 +80,7 @@ class ClassificationDatasetBuilder:
             mask = seg.build_slide_mask(slide)
             if mask is None:
                 continue
-            # tile WITHOUT the ambiguity gate: classification labels purely by
-            # coverage threshold (build_class_dataset.py:683-690)
-            saved_high = cfg.ambiguous_high
-            cfg.ambiguous_high = 0.0
             tiles = seg.tile_slide(slide, mask)
-            cfg.ambiguous_high = saved_high
             for t in tiles:
                 t["label"] = int(t["pos_ratio"] >= cfg.adipose_coverage_threshold)
                 labeled.append(t)

@@ -61,7 +61,10 @@ def tile_coords(h: int, w: int, tile: int, stride: int):
 
 @dataclass
 class SlideSource:
-    """One input slide: image + fat annotation JSON (+ optional bubbles)."""
+    """One input slide: image + target-class annotation JSON (+ optional
+    subtract-class JSON). ``fat_json``/``bubble_json`` are generically the
+    target/subtract annotations — named for the default classes
+    (``--target-mask fat --subtract-class bubbles``)."""
 
     base: str
     image_path: Path
@@ -70,12 +73,23 @@ class SlideSource:
     is_test: bool = False
 
 
-def discover_slides(data_root: str | Path, min_confidence: int = 1):
+def discover_slides(data_root: str | Path, min_confidence: int = 1,
+                    target: str = "fat", subtract: str | None = "bubbles",
+                    images_dir: str | Path | None = None,
+                    masks_dir: str | Path | None = None,
+                    include_test_set: bool = True,
+                    exclude_test_duplicates: bool = True):
     """Reference layout discovery: ``Pseudocolored/`` images with
-    ``Masks/fat/<base>*.json`` annotations (+ ``Masks/bubbles``), plus
+    ``Masks/<target>/<base>*.json`` annotations (+ ``Masks/<subtract>``), plus
     ``Pseudocolored/test/`` external test slides (``build_dataset.py:609-722``).
-    Slides whose annotations all fall below ``min_confidence`` are skipped."""
+    Slides whose annotations all fall below ``min_confidence`` are skipped.
+    ``images_dir``/``masks_dir`` override the default layout
+    (``--input-images-dir``/``--input-masks-dir``, :1964-1974); main-folder
+    slides duplicated in ``test/`` are dropped when ``exclude_test_duplicates``
+    (:1941-1944)."""
     root = Path(data_root)
+    pseudo = Path(images_dir) if images_dir else root / "Pseudocolored"
+    masks_root = Path(masks_dir) if masks_dir else root / "Masks"
     img_exts = (".jpg", ".jpeg", ".png", ".tif", ".tiff")
     slides = []
 
@@ -86,19 +100,27 @@ def discover_slides(data_root: str | Path, min_confidence: int = 1):
             return cand
         return None
 
-    for subdir, is_test in ((root / "Pseudocolored", False),
-                            (root / "Pseudocolored" / "test", True)):
+    sources = [(pseudo, False)]
+    test_bases: set = set()
+    if include_test_set and (pseudo / "test").exists():
+        sources.append((pseudo / "test", True))
+        if exclude_test_duplicates:
+            test_bases = {p.stem for p in (pseudo / "test").iterdir()
+                          if p.suffix.lower() in img_exts}
+    for subdir, is_test in sources:
         if not subdir.exists():
             continue
         for img in sorted(subdir.iterdir()):
             if img.suffix.lower() not in img_exts or not img.is_file():
                 continue
             base = img.stem
-            fat = _find_json(root / "Masks" / "fat", base)
-            bubbles = _find_json(root / "Masks" / "bubbles", base)
-            if fat is not None and not slide_has_valid_annotations(fat, min_confidence):
+            if not is_test and base in test_bases:
                 continue
-            slides.append(SlideSource(base, img, fat, bubbles, is_test))
+            tgt = _find_json(masks_root / target, base)
+            sub = _find_json(masks_root / subtract, base) if subtract else None
+            if tgt is not None and not slide_has_valid_annotations(tgt, min_confidence):
+                continue
+            slides.append(SlideSource(base, img, tgt, sub, is_test))
     return slides
 
 
@@ -123,33 +145,98 @@ class SegmentationDatasetBuilder:
                  qc_batch: int = 16):
         self.cfg = cfg or DataBuildConfig()
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        # `_build{_ecm}_{timestamp}` naming (build_dataset.py:1977-1983)
+        suffix = "_ecm" if self.cfg.channel == "ecm" else ""
         self.build_root = (
             Path(build_root)
             if build_root
-            else Path(out_parent) / f"_build_{ts}"
+            else Path(out_parent) / f"_build{suffix}_{ts}"
         )
         self.qc_batch = qc_batch
         self.stats = BuildStats()
 
     # -- stage 1: masks -------------------------------------------------------
 
+    def _load_external_subtract(self, base: str, shape) -> np.ndarray | None:
+        """``--subtract-masks-dir``: external mask files to subtract
+        (``build_dataset.py:1149-1155``)."""
+        d = self.cfg.subtract_masks_dir
+        if not d:
+            return None
+        for cand in sorted(Path(d).glob(f"{base}*")):
+            if cand.suffix.lower() in (".tif", ".tiff", ".png"):
+                m = cv2.imread(str(cand), cv2.IMREAD_UNCHANGED)
+                if m is not None and m.shape[:2] == shape:
+                    return (m > 0).astype(np.uint8)
+        return None
+
     def build_slide_mask(self, slide: SlideSource) -> np.ndarray | None:
-        """Rasterize fat (− bubbles) into the slide-size target mask."""
+        """Rasterize target − subtract into the slide-size mask, with the
+        reference's cleanup knobs (``--morph-close-k``/``--min-cc-px``) and
+        mask reuse under ``--no-make-masks`` (:1139-1194)."""
         img = cv2.imread(str(slide.image_path), cv2.IMREAD_UNCHANGED)
         if img is None:
             return None
         h, w = img.shape[:2]
+        cfg = self.cfg
+        mask_path = (self.build_root / "masks" / cfg.target_mask /
+                     f"{slide.base}.tif")
+        if not cfg.make_masks:
+            m = cv2.imread(str(mask_path), cv2.IMREAD_UNCHANGED)
+            if m is not None:
+                return (m > 0).astype(np.uint8)
+            # fall through: nothing to reuse, rasterize anyway
         if slide.fat_json is None:
-            return np.zeros((h, w), np.uint8)
-        polys, _ = load_json_annotations(slide.fat_json, self.cfg.min_confidence_train)
-        fat = create_binary_mask(polys, w, h)
-        bubble = None
-        if slide.bubble_json is not None:
-            bpolys, _ = load_json_annotations(slide.bubble_json, 1)
-            bubble = create_binary_mask(bpolys, w, h)
-        mask = prepare_target_mask(fat, bubble)
-        self.stats.masks_built += 1
+            mask = np.zeros((h, w), np.uint8)
+        else:
+            polys, _ = load_json_annotations(slide.fat_json, cfg.min_confidence_train)
+            target = create_binary_mask(polys, w, h)
+            subtract = None
+            if cfg.subtract:
+                if slide.bubble_json is not None:
+                    bpolys, _ = load_json_annotations(slide.bubble_json, 1)
+                    subtract = create_binary_mask(bpolys, w, h)
+                ext = self._load_external_subtract(slide.base, (h, w))
+                if ext is not None:
+                    subtract = ext if subtract is None else np.maximum(subtract, ext)
+            mask = prepare_target_mask(
+                target, subtract,
+                close_kernel=cfg.morph_close_k,
+                min_component_area=cfg.min_cc_px,
+            )
+        if cfg.make_masks:
+            mask_path.parent.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(mask_path), mask * 255,
+                        self._tiff_params(mask.shape))
+        if cfg.make_overlays:
+            self._write_overlay(slide, img, mask)
         return mask
+
+    def _tiff_params(self, shape=None):
+        """cv2 TIFF compression params from ``--compression``
+        (``build_dataset.py:186`` / ``_save_tiff_mask``)."""
+        comp = {"auto": 5, "lzw": 5, "packbits": 32773, "none": 1}.get(
+            self.cfg.compression, 5)
+        return [cv2.IMWRITE_TIFF_COMPRESSION, comp]
+
+    def _write_overlay(self, slide: SlideSource, img: np.ndarray,
+                       mask: np.ndarray) -> None:
+        """QA overlay: target contours on the slide (``build_dataset.py:
+        954-959``; OVERLAY_COLORS :153-157 — fat yellow in BGR)."""
+        colors = {"bubbles": (255, 0, 0), "fat": (0, 255, 255),
+                  "muscle": (0, 0, 255)}
+        if img.dtype == np.uint16:
+            img = (img / 257.0).astype(np.uint8)
+        over = img if img.ndim == 3 else cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        over = over.copy()
+        contours, _ = cv2.findContours(mask.astype(np.uint8),
+                                       cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        cv2.drawContours(over, contours, -1,
+                         colors.get(self.cfg.target_mask, (0, 255, 255)), 2)
+        d = self.build_root / "overlays"
+        d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(d / f"{slide.base}_overlay.jpg"), over,
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
 
     # -- stage 2: tiling + QC + filters ---------------------------------------
 
@@ -169,7 +256,13 @@ class SegmentationDatasetBuilder:
 
     def tile_slide(self, slide: SlideSource, mask: np.ndarray):
         """Returns list of dicts: {name, image(2D u8), mask(2D u8), pos_ratio,
-        keep status}. Applies QC, confidence, ambiguity gates."""
+        keep status}. Applies QC, confidence, ambiguity gates with the
+        reference's per-split semantics (``build_dataset.py:1454-1630``):
+        test slides use ``test_stride``/``test_min_confidence``/
+        ``test_min_mask_ratio``; white/blur verdicts route tiles OUT of the
+        dataset (only 'tissue' gets a mask) with ``test_include_white/blurry``
+        promoting them back for test; ``include_ambiguous`` keeps sub-threshold
+        test tiles as zero-mask negatives."""
         cfg = self.cfg
         img = cv2.imread(str(slide.image_path), cv2.IMREAD_UNCHANGED)
         if img is None:
@@ -182,20 +275,27 @@ class SegmentationDatasetBuilder:
             rgb = None
         if gray.dtype == np.uint16:
             gray = (gray / 257.0).astype(np.uint8)
+        if cfg.invert_input:  # black-on-white inputs (:1853-1854)
+            gray = 255 - gray
+            if rgb is not None:
+                rgb = 255 - rgb
         h, w = gray.shape
-        coords = tile_coords(h, w, cfg.tile_size, cfg.stride)
+        stride = cfg.test_stride if slide.is_test else cfg.stride
+        coords = tile_coords(h, w, cfg.tile_size, stride)
         if not coords:
             return []
         min_conf = (
-            cfg.min_confidence_eval if slide.is_test else cfg.min_confidence_train
+            cfg.test_min_confidence if slide.is_test else cfg.min_confidence_train
         )
+        min_ratio = cfg.test_min_mask_ratio if slide.is_test else cfg.ambiguous_high
 
         tiles_gray = [gray[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
                       for (_, _, ys, xs) in coords]
         verdicts = self._qc_batchwise(tiles_gray)
 
         if cfg.apply_stain_norm and rgb is not None:
-            ref_mean, ref_std = DEFAULT_REFERENCE.as_arrays()
+            ref = self._stain_reference()
+            ref_mean, ref_std = ref.as_arrays()
             normed = []
             for i in range(0, len(coords), self.qc_batch):
                 chunk = np.stack([
@@ -209,11 +309,27 @@ class SegmentationDatasetBuilder:
         results = []
         for (ri, ci, ys, xs), tile_img, v in zip(coords, tiles_gray, verdicts):
             self.stats.tiles_total += 1
-            if bool(v["is_empty"]):
+            name = f"{slide.base}_r{ri}_c{ci}"
+            cls = ("empty" if bool(v["is_empty"])
+                   else "blurry" if bool(v["is_blurry"]) else "tissue")
+            if cls == "empty" and not cfg.keep_white:
                 self.stats.tiles_skipped_empty += 1
                 continue
-            if bool(v["is_blurry"]):
+            if cls == "blurry" and not cfg.keep_blurry:
                 self.stats.tiles_skipped_blurry += 1
+                continue
+            if slide.is_test:
+                if cls == "empty" and cfg.test_include_white:
+                    cls = "tissue"
+                elif cls == "blurry" and cfg.test_include_blurry:
+                    cls = "tissue"
+            if cls != "tissue":
+                # kept as QA artifact only — not dataset-eligible (:1546-1548)
+                self._write_qa_tile(cls, name, tile_img)
+                if cls == "empty":
+                    self.stats.tiles_skipped_empty += 1
+                else:
+                    self.stats.tiles_skipped_blurry += 1
                 continue
             m_tile = mask[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
             pos_ratio = float(m_tile.mean())
@@ -223,11 +339,15 @@ class SegmentationDatasetBuilder:
                 if low_conf_only:
                     self.stats.tiles_skipped_low_conf += 1
                     continue
-            if 0 < pos_ratio < cfg.ambiguous_high:
-                self.stats.tiles_skipped_ambiguous += 1
-                continue
+            if 0 < pos_ratio < min_ratio:
+                if not (slide.is_test and cfg.include_ambiguous):
+                    self.stats.tiles_skipped_ambiguous += 1
+                    continue
+                # test + include-ambiguous: zero-mask negative (:1625-1630)
+                m_tile = np.zeros_like(m_tile)
+                pos_ratio = 0.0
             results.append({
-                "name": f"{slide.base}_r{ri}_c{ci}",
+                "name": name,
                 "image": tile_img,
                 "mask": (m_tile > 0).astype(np.uint8) * 255,
                 "pos_ratio": pos_ratio,
@@ -236,15 +356,47 @@ class SegmentationDatasetBuilder:
             })
         return results
 
+    def _stain_reference(self):
+        """Resolve the Reinhard reference: ``--reference-path`` image →
+        ``--reference-metadata`` JSON → built-in default
+        (``build_dataset.py:1409-1436``)."""
+        from adipose_tpu.ops.stain import LabStats
+
+        cfg = self.cfg
+        if cfg.reference_path:
+            ref_img = cv2.imread(str(cfg.reference_path), cv2.IMREAD_COLOR)
+            if ref_img is not None:
+                rgb = cv2.cvtColor(ref_img, cv2.COLOR_BGR2RGB)
+                return LabStats.from_image(rgb.astype(np.float32) / 255.0)
+        if cfg.reference_metadata:
+            try:
+                return LabStats.from_metadata(cfg.reference_metadata)
+            except (OSError, KeyError, ValueError):
+                pass
+        return DEFAULT_REFERENCE
+
+    def _write_qa_tile(self, cls: str, name: str, tile_img: np.ndarray) -> None:
+        """Route white/blurry tiles into ``tiles/{empty,blurry}`` for QA
+        (``build_dataset.py:1401-1403``)."""
+        d = self.build_root / "tiles" / cls
+        d.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(d / f"{name}.jpg"), tile_img,
+                    [cv2.IMWRITE_JPEG_QUALITY, self.cfg.jpeg_quality])
+
     # -- stage 3: negative sampling + split -----------------------------------
 
     def sample_negatives(self, tiles: list) -> list:
-        """Keep positives; sample negatives to ``negative_fraction`` of the
-        final set (``build_dataset.py:1589-1632``): n_neg = round(f/(1−f)·n_pos)."""
+        """Keep positives; sample negatives per split semantics
+        (``build_dataset.py:1589-1632``): training pool targets
+        ``negative_fraction`` of the FINAL set (n = f/(1−f)·n_pos); the
+        external test set keeps ``test_neg_pct`` of its negative CANDIDATES
+        (default 1.0 = all, :1611-1622)."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
-        pos = [t for t in tiles if t["pos_ratio"] > 0]
-        neg = [t for t in tiles if t["pos_ratio"] == 0]
+        pool = [t for t in tiles if not t["is_test"]]
+        test = [t for t in tiles if t["is_test"]]
+        pos = [t for t in pool if t["pos_ratio"] > 0]
+        neg = [t for t in pool if t["pos_ratio"] == 0]
         self.stats.neg_candidates = len(neg)
         f = max(0.0, min(cfg.negative_fraction, 0.99))
         target = int(round((f / max(1e-9, 1.0 - f)) * len(pos)))
@@ -254,20 +406,33 @@ class SegmentationDatasetBuilder:
             if target > 0
             else []
         )
-        self.stats.tiles_kept_pos = len(pos)
-        self.stats.tiles_kept_neg = len(chosen)
-        return pos + chosen
+        t_pos = [t for t in test if t["pos_ratio"] > 0]
+        t_neg = [t for t in test if t["pos_ratio"] == 0]
+        ft = max(0.0, min(cfg.test_neg_pct, 1.0))
+        n_t = len(t_neg) if ft >= 1.0 else int(round(ft * len(t_neg)))
+        t_chosen = (
+            t_neg if n_t >= len(t_neg)
+            else [t_neg[i] for i in rng.choice(len(t_neg), size=n_t, replace=False)]
+        )
+        self.stats.tiles_kept_pos = len(pos) + len(t_pos)
+        self.stats.tiles_kept_neg = len(chosen) + len(t_chosen)
+        return pos + chosen + t_pos + t_chosen
 
     def split_tiles(self, tiles: list) -> dict:
         """Slide-grouped split (``build_dataset.py:1710-1745``): external test
-        tiles go to test; remaining slides shuffle-split by val/test ratios."""
+        tiles go to test; remaining slides shuffle-split by val/test ratios.
+        ``--no-split-by-slide`` splits at tile level instead (:179)."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         external_test = [t for t in tiles if t["is_test"]]
         train_pool = [t for t in tiles if not t["is_test"]]
         groups: dict = {}
-        for t in train_pool:
-            groups.setdefault(t["base"], []).append(t)
+        if cfg.split_by_slide:
+            for t in train_pool:
+                groups.setdefault(t["base"], []).append(t)
+        else:
+            for i, t in enumerate(train_pool):
+                groups[f"tile{i}"] = [t]
         slides = list(groups)
         rng.shuffle(slides)
         n_test = (
@@ -294,18 +459,37 @@ class SegmentationDatasetBuilder:
 
     # -- driver ---------------------------------------------------------------
 
-    def build(self, data_root: str | Path) -> Path:
-        slides = discover_slides(data_root, self.cfg.min_confidence_train)
+    def build(self, data_root: str | Path,
+              images_dir: str | Path | None = None,
+              masks_dir: str | Path | None = None) -> Path:
+        cfg = self.cfg
+        slides = discover_slides(
+            data_root, cfg.min_confidence_train,
+            target=cfg.target_mask, subtract=cfg.subtract_class,
+            images_dir=images_dir, masks_dir=masks_dir,
+            include_test_set=cfg.include_test_set,
+            exclude_test_duplicates=cfg.exclude_test_duplicates,
+        )
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
+        # rasterization parallelizes across slides (the reference's
+        # multiprocessing.Pool stage, :1010-1018); cv2.fillPoly releases the
+        # GIL so threads suffice — tiling stays serial (device QC batches)
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = cfg.workers or max(1, (os.cpu_count() or 2) - 1)
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            masks = list(pool.map(self.build_slide_mask, slides))
+        self.stats.masks_built = sum(m is not None for m in masks)
         all_tiles = []
-        for slide in slides:
-            mask = self.build_slide_mask(slide)
+        for slide, mask in zip(slides, masks):
             if mask is None:
                 continue
             all_tiles.extend(self.tile_slide(slide, mask))
         kept = self.sample_negatives(all_tiles)
         splits = self.split_tiles(kept)
+        tiff_params = self._tiff_params()
         for split, tiles in splits.items():
             img_dir = self.build_root / "dataset" / split / "images"
             msk_dir = self.build_root / "dataset" / split / "masks"
@@ -313,8 +497,9 @@ class SegmentationDatasetBuilder:
             msk_dir.mkdir(parents=True, exist_ok=True)
             for t in tiles:
                 cv2.imwrite(str(img_dir / f"{t['name']}.jpg"), t["image"],
-                            [cv2.IMWRITE_JPEG_QUALITY, 95])
-                cv2.imwrite(str(msk_dir / f"{t['name']}.tif"), t["mask"])
+                            [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality])
+                cv2.imwrite(str(msk_dir / f"{t['name']}.tif"), t["mask"],
+                            tiff_params)
             self.stats.split_counts[split] = len(tiles)
         self._write_logs(data_root, slides)
         return self.build_root
@@ -350,8 +535,8 @@ def find_most_recent_build_dir(base: str | Path) -> Path:
 
     base = Path(base)
     builds = []
-    for p in glob.glob(str(base / "_build_*")):
-        m = re.search(r"_build_(\d{8}_\d{6})$", Path(p).name)
+    for p in glob.glob(str(base / "_build*")):
+        m = re.search(r"_build(?:_ecm)?_(\d{8}_\d{6})$", Path(p).name)
         if m:
             builds.append((m.group(1), Path(p)))
     if builds:

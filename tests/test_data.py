@@ -272,6 +272,131 @@ class TestTiling:
             frac = s.tiles_kept_neg / (s.tiles_kept_pos + s.tiles_kept_neg)
             assert frac <= 0.45
 
+    def test_builder_reference_artifacts_and_knobs(self, synthetic_slides):
+        """Mask/QA artifact layout + reuse (build_dataset.py:966-1194):
+        masks/<target>/<base>.tif written, overlays/ with --make-overlays,
+        --no-make-masks reuses an edited mask file."""
+        cfg = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.5,
+                              test_fraction=0.0, make_overlays=True)
+        builder = SegmentationDatasetBuilder(cfg, out_parent=synthetic_slides)
+        root = builder.build(synthetic_slides)
+        assert (root / "masks" / "fat" / "slide0.tif").exists()
+        assert (root / "overlays" / "slide0_overlay.jpg").exists()
+
+        # edit slide0's mask to all-zero; --no-make-masks must reuse it
+        z = np.zeros((192, 192), np.uint8)
+        cv2.imwrite(str(root / "masks" / "fat" / "slide0.tif"), z)
+        cfg2 = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.5,
+                               test_fraction=0.0, make_masks=False)
+        b2 = SegmentationDatasetBuilder(cfg2, build_root=root)
+        m = b2.build_slide_mask(discover_slides(synthetic_slides)[0])
+        assert m.sum() == 0
+
+    def test_builder_white_routing_and_subtract(self, tmp_path, rng):
+        """White tiles leave the dataset but land in tiles/empty QA with
+        keep_white (build_dataset.py:1401-1546); --drop-white discards them;
+        --no-subtract keeps the subtract-class area in the target mask."""
+        pseudo = tmp_path / "Pseudocolored"
+        fat_dir = tmp_path / "Masks" / "fat"
+        bub_dir = tmp_path / "Masks" / "bubbles"
+        for d in (pseudo, fat_dir, bub_dir):
+            d.mkdir(parents=True)
+        img = np.full((128, 128), 250, np.uint8)  # mostly white slide
+        img[64:, :] = (rng.rand(64, 128) * 60 + 80).astype(np.uint8)
+        cv2.imwrite(str(pseudo / "s.jpg"), img)
+        sq = lambda x1, y1, x2, y2: [[float(x1), float(y1)], [float(x2), float(y1)],
+                                     [float(x2), float(y2)], [float(x1), float(y2)]]
+        ann = lambda pts: json.dumps([{"confidenceScore": 3, "annotation":
+                                       {"elements": [{"type": "polyline",
+                                                      "points": pts}]}}])
+        (fat_dir / "s.json").write_text(ann(sq(10, 70, 120, 120)))
+        (bub_dir / "s.json").write_text(ann(sq(10, 70, 60, 120)))
+
+        cfg = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.0,
+                              test_fraction=0.0)
+        b = SegmentationDatasetBuilder(cfg, out_parent=tmp_path)
+        root = b.build(tmp_path)
+        empties = list((root / "tiles" / "empty").glob("*.jpg"))
+        assert empties, "white tiles should be QA-routed"
+        # dataset only contains tissue tiles
+        assert all("_r1_" in p.stem for p in
+                   (root / "dataset" / "train" / "images").glob("*.jpg"))
+
+        cfg_drop = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.0,
+                                   test_fraction=0.0, keep_white=False)
+        b2 = SegmentationDatasetBuilder(cfg_drop,
+                                        build_root=tmp_path / "_build_drop")
+        root2 = b2.build(tmp_path)
+        assert not (root2 / "tiles" / "empty").exists()
+
+        # subtraction halves the fat mask; --no-subtract restores it
+        m_sub = b.build_slide_mask(discover_slides(tmp_path)[0])
+        cfg_ns = DataBuildConfig(subtract=False)
+        b3 = SegmentationDatasetBuilder(cfg_ns, out_parent=tmp_path)
+        m_full = b3.build_slide_mask(discover_slides(tmp_path)[0])
+        assert m_full.sum() > m_sub.sum()
+
+    def test_builder_test_split_knobs(self, tmp_path, rng):
+        """External test slides: test_neg_pct keeps all negatives,
+        include_ambiguous keeps sub-threshold tiles as zero-mask negatives,
+        exclude_test_duplicates drops main-folder copies
+        (build_dataset.py:1591-1630, :1941-1944)."""
+        pseudo = tmp_path / "Pseudocolored"
+        test_dir = pseudo / "test"
+        fat_dir = tmp_path / "Masks" / "fat"
+        for d in (pseudo, test_dir, fat_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        img = (rng.rand(128, 128) * 60 + 80).astype(np.uint8)
+        cv2.imwrite(str(test_dir / "t1.jpg"), img)
+        cv2.imwrite(str(pseudo / "t1.jpg"), img)  # duplicate of a test slide
+        cv2.imwrite(str(pseudo / "m1.jpg"), img)
+        # tiny annotation: ~1.5% coverage in tile (0,0) -> ambiguous
+        pts = [[5.0, 5.0], [13.0, 5.0], [13.0, 13.0], [5.0, 13.0]]
+        payload = json.dumps([{"confidenceScore": 3, "annotation":
+                               {"elements": [{"type": "polyline", "points": pts}]}}])
+        (fat_dir / "t1.json").write_text(payload)
+        (fat_dir / "m1.json").write_text(payload)
+
+        cfg = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.0,
+                              test_fraction=0.0, include_test_set=True,
+                              include_ambiguous=True,
+                              test_min_mask_ratio=0.05)
+        b = SegmentationDatasetBuilder(cfg, out_parent=tmp_path)
+        root = b.build(tmp_path)
+        slides = discover_slides(tmp_path, include_test_set=True)
+        bases = [(s.base, s.is_test) for s in slides]
+        assert ("t1", True) in bases and ("t1", False) not in bases
+        test_masks = list((root / "dataset" / "test" / "masks").glob("t1_*.tif"))
+        assert test_masks, "test tiles present"
+        # ambiguous test tile kept as zero-mask negative
+        r0c0 = root / "dataset" / "test" / "masks" / "t1_r0_c0.tif"
+        assert r0c0.exists()
+        assert cv2.imread(str(r0c0), cv2.IMREAD_UNCHANGED).sum() == 0
+        # train split ambiguous tile excluded (same geometry, ambiguous_high)
+        assert not (root / "dataset" / "train" / "masks" / "m1_r0_c0.tif").exists()
+
+    def test_builder_tile_level_split(self, tmp_path, rng):
+        """--no-split-by-slide: one slide's tiles straddle train/val —
+        impossible under slide grouping (build_dataset.py:179, :1710-1745)."""
+        pseudo = tmp_path / "Pseudocolored"
+        fat_dir = tmp_path / "Masks" / "fat"
+        pseudo.mkdir(parents=True)
+        fat_dir.mkdir(parents=True)
+        img = (rng.rand(192, 192) * 60 + 80).astype(np.uint8)
+        cv2.imwrite(str(pseudo / "only.jpg"), img)
+        sq = [[10.0, 10.0], [180.0, 10.0], [180.0, 180.0], [10.0, 180.0]]
+        (fat_dir / "only.json").write_text(json.dumps([
+            {"confidenceScore": 3,
+             "annotation": {"elements": [{"type": "polyline", "points": sq}]}}
+        ]))
+        cfg = DataBuildConfig(tile_size=64, stride=64, val_fraction=0.5,
+                              test_fraction=0.0, split_by_slide=False,
+                              negative_fraction=0.0)
+        b = SegmentationDatasetBuilder(cfg, out_parent=tmp_path)
+        b.build(tmp_path)
+        assert b.stats.split_counts["train"] > 0
+        assert b.stats.split_counts["val"] > 0
+
     def test_find_most_recent_build_dir(self, tmp_path):
         (tmp_path / "_build_20240101_000000").mkdir()
         (tmp_path / "_build_20250101_000000").mkdir()
