@@ -150,28 +150,64 @@ def build_parser() -> argparse.ArgumentParser:
     # -- training -------------------------------------------------------------
     t = sub.add_parser("train-unet", help="two-phase U-Net fine-tuning")
     t.add_argument("--data-root", required=True)
-    t.add_argument("--epochs-phase1", type=int, default=50)
-    t.add_argument("--epochs-phase2", type=int, default=100)
+    t.add_argument("--pretrained-weights", default=None,
+                   help="by-name weight transfer before phase 1 (TF .h5 or "
+                        "orbax; train_adipose_unet_v3.py:881-916)")
+    t.add_argument("--epochs-phase1", type=int, default=75)
+    t.add_argument("--epochs-phase2", type=int, default=150)
     t.add_argument("--batch-size", type=int, default=2)
-    t.add_argument("--use-deep-supervision", action="store_true")
-    t.add_argument("--use-hard-example-mining", action="store_true")
-    t.add_argument("--ohem-ratio", type=float, default=0.7)
-    t.add_argument("--use-label-smoothing", action="store_true")
-    t.add_argument("--epsilon-pos", type=float, default=0.03)
-    t.add_argument("--epsilon-neg", type=float, default=0.07)
-    t.add_argument("--use-ema", action="store_true")
+    t.add_argument("--use-deep-supervision", dest="use_deep_supervision",
+                   action="store_true", default=True)
+    t.add_argument("--no-deep-supervision", dest="use_deep_supervision",
+                   action="store_false")
+    t.add_argument("--use-hard-example-mining", "--use-hard-mining",
+                   dest="use_hard_mining", action="store_true", default=True)
+    t.add_argument("--no-hard-mining", dest="use_hard_mining",
+                   action="store_false")
+    t.add_argument("--ohem-ratio", "--hard-example-ratio", dest="ohem_ratio",
+                   type=float, default=0.7)
+    t.add_argument("--use-label-smoothing", "--label-smoothing",
+                   dest="use_label_smoothing", action="store_true",
+                   default=False)
+    t.add_argument("--no-label-smoothing", dest="use_label_smoothing",
+                   action="store_false")
+    t.add_argument("--epsilon-pos", "--label-smooth-epsilon-pos",
+                   dest="epsilon_pos", type=float, default=0.03)
+    t.add_argument("--epsilon-neg", "--label-smooth-epsilon-neg",
+                   dest="epsilon_neg", type=float, default=0.07)
+    t.add_argument("--use-ema", dest="use_ema", action="store_true",
+                   default=True,
+                   help="EMA weights (the reference always tracks them, "
+                        ":410-505)")
+    t.add_argument("--no-ema", dest="use_ema", action="store_false")
     t.add_argument("--ema-decay", type=float, default=0.995)
     t.add_argument("--use-adamw", action="store_true")
+    t.add_argument("--optimizer", choices=["adam", "adamw"], default=None,
+                   help="reference name (overrides --use-adamw)")
     t.add_argument("--weight-decay", type=float, default=0.01)
-    t.add_argument("--use-cosine-schedule", action="store_true")
-    t.add_argument("--warmup-epochs", type=int, default=5)
-    t.add_argument("--augment-level",
-                   choices=["light", "moderate", "heavy", "tta_style"],
+    t.add_argument("--use-cosine-schedule", dest="use_cosine_schedule",
+                   action="store_true", default=True)
+    t.add_argument("--no-cosine-schedule", dest="use_cosine_schedule",
+                   action="store_false")
+    t.add_argument("--warmup-epochs", "--warmup-epochs-phase1",
+                   dest="warmup_epochs", type=int, default=5)
+    t.add_argument("--warmup-epochs-phase2", type=int, default=3)
+    t.add_argument("--ds-weight-main", type=float, default=1.0)
+    t.add_argument("--ds-weight-aux1", type=float, default=0.4)
+    t.add_argument("--ds-weight-aux2", type=float, default=0.3)
+    t.add_argument("--augment-level", "--augmentation-level",
+                   dest="augment_level",
+                   choices=["none", "light", "moderate", "heavy",
+                            "tta_style", "tta-style"],
                    default="moderate")
     t.add_argument("--normalization-method", choices=["zscore", "percentile"],
-                   default="zscore")
+                   default="percentile")
+    t.add_argument("--percentile-low", type=float, default=1.0)
+    t.add_argument("--percentile-high", type=float, default=99.0)
     t.add_argument("--resume-from", default=None)
     t.add_argument("--checkpoint-name", default="adipose_sybreosin")
+    t.add_argument("--checkpoint-suffix", default="",
+                   help="appended to the run directory name (:1524)")
     t.add_argument("--checkpoint-root", default="checkpoints/segmentation")
     t.add_argument("--num-devices", type=int, default=0)
     t.add_argument("--shard-spatial", action="store_true",
@@ -570,24 +606,31 @@ def cmd_train_unet(args):
     cfg = TrainConfig(
         batch_size=args.batch_size,
         epochs_phase1=args.epochs_phase1, epochs_phase2=args.epochs_phase2,
-        optimizer="adamw" if args.use_adamw else "adam",
+        optimizer=args.optimizer or ("adamw" if args.use_adamw else "adam"),
         weight_decay=args.weight_decay,
-        use_hard_mining=args.use_hard_example_mining, ohem_ratio=args.ohem_ratio,
+        use_hard_mining=args.use_hard_mining, ohem_ratio=args.ohem_ratio,
         use_label_smoothing=args.use_label_smoothing,
         epsilon_pos=args.epsilon_pos, epsilon_neg=args.epsilon_neg,
+        ds_weight_main=args.ds_weight_main,
+        ds_weight_aux1=args.ds_weight_aux1,
+        ds_weight_aux2=args.ds_weight_aux2,
         use_ema=args.use_ema, ema_decay_phase2=args.ema_decay,
         use_cosine_schedule=args.use_cosine_schedule,
         warmup_epochs=args.warmup_epochs,
-        augment_level=args.augment_level,
+        warmup_epochs_phase2=args.warmup_epochs_phase2,
+        augment_level=args.augment_level.replace("-", "_"),
         normalization_method=args.normalization_method,
+        percentile_low=args.percentile_low,
+        percentile_high=args.percentile_high,
         num_devices=args.num_devices,
         shard_spatial=args.shard_spatial,
     )
     mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
     trainer = UNetTrainer(data_root, cfg, mcfg,
-                          checkpoint_name=args.checkpoint_name,
+                          checkpoint_name=args.checkpoint_name + args.checkpoint_suffix,
                           checkpoint_root=args.checkpoint_root)
-    result = trainer.train(resume_from=args.resume_from)
+    result = trainer.train(resume_from=args.resume_from,
+                           pretrained_weights=args.pretrained_weights)
     print(json.dumps(result, indent=2))
 
 

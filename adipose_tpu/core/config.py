@@ -106,7 +106,8 @@ class TrainConfig(_JsonMixin):
     ema_decay_phase2: float = 0.995
     # Schedule (CosineAnnealingWithWarmup :368-407)
     use_cosine_schedule: bool = False
-    warmup_epochs: int = 5
+    warmup_epochs: int = 5  # phase 1 (--warmup-epochs-phase1)
+    warmup_epochs_phase2: int = 3  # (--warmup-epochs-phase2)
     min_lr: float = 1e-7
     # Data
     augment_level: str = "moderate"  # light|moderate|heavy|tta_style

@@ -311,11 +311,18 @@ def augment_grayscale_classification(key, image):
     return image
 
 
+def augment_pair_none(key, image, mask):
+    """Identity tier (``--augmentation-level none``)."""
+    return image, mask
+
+
 TIERS = {
+    "none": augment_pair_none,
     "light": augment_pair_light,
     "moderate": augment_pair_moderate,
     "heavy": augment_pair_heavy,
     "tta_style": augment_pair_tta_style,
+    "tta-style": augment_pair_tta_style,  # reference spelling (:1514)
 }
 
 

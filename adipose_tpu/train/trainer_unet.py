@@ -246,8 +246,9 @@ class UNetTrainer:
 
         train_step, val_step = build_steps()
         augment_step = make_augment_step(augment_tier)
+        warmup = cfg.warmup_epochs if phase == 1 else cfg.warmup_epochs_phase2
         schedule = (
-            cosine_with_warmup(lr, min_lr, cfg.warmup_epochs, epochs)
+            cosine_with_warmup(lr, min_lr, warmup, epochs)
             if cfg.use_cosine_schedule
             else None
         )
@@ -363,15 +364,49 @@ class UNetTrainer:
             ckpt.save_params(self.ckpt_dir, "weights_ema", jax.device_get(ema.snapshot))
         return best_params, best_dice
 
+    def load_pretrained(self, params, path: str | Path):
+        """Smart by-name weight transfer with mismatch skipping — the
+        reference's v2-compatible loader (``train_adipose_unet_v3.py:881-916``):
+        aux-head / shape-mismatched entries keep their fresh init. Accepts a
+        TF ``.h5``/``.weights.h5`` (via the importer) or an orbax checkpoint."""
+        p = Path(path)
+        if p.suffix == ".h5" or p.name.endswith(".weights.h5"):
+            from adipose_tpu.models.tf_import import import_unet_weights
+
+            try:
+                return import_unet_weights(p, params)
+            except ValueError as e:
+                print(f"[pretrained] TF import fell back to by-name merge: {e}")
+                return params
+        loaded = ckpt.load_params(ckpt.resolve_weights_path(p))
+
+        def merge(dst, src):
+            if isinstance(dst, dict) and isinstance(src, dict):
+                return {k: merge(v, src[k]) if k in src else v
+                        for k, v in dst.items()}
+            if (hasattr(dst, "shape") and hasattr(src, "shape")
+                    and dst.shape == src.shape):
+                return jnp.asarray(src)
+            return dst  # shape mismatch / extra leaf: keep fresh init
+
+        merged = merge(params, loaded)
+        n = sum(1 for _ in jax.tree.leaves(merged))
+        print(f"[pretrained] merged by name from {p} ({n} leaves)")
+        return merged
+
     def train(self, epochs_phase1: int | None = None, epochs_phase2: int | None = None,
-              resume_from: str | Path | None = None):
+              resume_from: str | Path | None = None,
+              pretrained_weights: str | Path | None = None):
         """``resume_from``: checkpoint dir or params dir — phase 1 is skipped
         and phase 2 fine-tunes from those weights (the reference's
         ``--resume-from`` flow, ``train_adipose_unet_v3.py:1336-1339``);
-        pretrained weights can also come from the TF importer."""
+        ``pretrained_weights``: by-name transfer into a fresh init before
+        phase 1 (``--pretrained-weights``, :881-916)."""
         cfg = self.cfg
         tier = cfg.augment_level
         params = self.init_params()
+        if pretrained_weights:
+            params = self.load_pretrained(params, pretrained_weights)
         if resume_from is not None:
             loaded = ckpt.load_params(ckpt.resolve_weights_path(resume_from))
             params = jax.tree.map(jnp.asarray, loaded)

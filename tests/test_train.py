@@ -211,6 +211,45 @@ class TestEndToEndTraining:
         assert losses[-1] < losses[0]
 
 
+class TestPretrainedMerge:
+    def test_by_name_merge_skips_mismatches(self, tiny_dataset, tmp_path):
+        """--pretrained-weights: matching leaves copied, mismatched/extra kept
+        at fresh init (train_adipose_unet_v3.py:881-916)."""
+        import jax
+        import jax.numpy as jnp
+
+        from adipose_tpu.train import checkpoint as ckpt
+        from adipose_tpu.train.trainer_unet import UNetTrainer
+
+        cfg = TrainConfig(batch_size=4, augment_level="none")
+        mcfg = UNetConfig(tile_size=64, init_nb=4, compute_dtype="float32",
+                          use_deep_supervision=False)
+        trainer = UNetTrainer(tiny_dataset, cfg, mcfg,
+                              checkpoint_root=tmp_path / "ck")
+        params = trainer.init_params()
+        # donor: same arch (shapes match) but DS heads ON (extra leaves) and
+        # constant-valued params so copied leaves are identifiable
+        donor_model_params = jax.tree.map(lambda x: jnp.full_like(x, 0.5),
+                                          params)
+        ckpt.save_params(tmp_path, "donor", donor_model_params)
+        merged = trainer.load_pretrained(params, tmp_path / "donor")
+        assert all(float(jnp.ravel(l)[0]) == 0.5
+                   for l in jax.tree.leaves(merged))
+
+        # shape-mismatched donor (different init_nb) leaves params untouched
+        mcfg_big = UNetConfig(tile_size=64, init_nb=8, compute_dtype="float32",
+                              use_deep_supervision=False)
+        t2 = UNetTrainer(tiny_dataset, cfg, mcfg_big,
+                         checkpoint_root=tmp_path / "ck2")
+        big = jax.tree.map(lambda x: jnp.full_like(x, 0.25), t2.init_params())
+        ckpt.save_params(tmp_path, "donor_big", big)
+        merged2 = trainer.load_pretrained(params, tmp_path / "donor_big")
+        # at least the first conv differs in shape -> kept from `params`
+        leaves_p = jax.tree.leaves(params)
+        leaves_m = jax.tree.leaves(merged2)
+        assert any((a == b).all() for a, b in zip(leaves_p, leaves_m))
+
+
 class TestRematFallback:
     """Auto-remat compile-OOM fallback (trainer_unet)."""
 
