@@ -216,16 +216,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     tc = sub.add_parser("train-classifier", help="two-phase InceptionV3 classifier")
     tc.add_argument("--dataset-root", required=True)
-    tc.add_argument("--warmup-epochs", type=int, default=5)
+    tc.add_argument("--train-split", default="train")
+    tc.add_argument("--val-split", default="val")
+    tc.add_argument("--pretrained-weights", default=None,
+                    help="legacy transfer weights, by-name with mismatch skip "
+                         "(train_adipose_classifier_v0.py:322-353)")
+    tc.add_argument("--warmup-epochs", type=int, default=6)
     tc.add_argument("--finetune-epochs", type=int, default=20)
-    tc.add_argument("--batch-size", type=int, default=16)
+    tc.add_argument("--batch-size", type=int, default=32)
     tc.add_argument("--base-lr", type=float, default=1e-3)
     tc.add_argument("--finetune-lr", type=float, default=1e-4)
+    tc.add_argument("--dropout", type=float, default=0.4)
     tc.add_argument("--unfreeze-from", default="mixed7")
+    tc.add_argument("--patience", type=int, default=4)
     tc.add_argument("--label-smoothing", type=float, default=0.1)
     tc.add_argument("--percentile-norm", type=_bool, default=True)
+    tc.add_argument("--percentile-low", type=float, default=1.0)
+    tc.add_argument("--percentile-high", type=float, default=99.0)
     tc.add_argument("--use-class-weights", action="store_true")
     tc.add_argument("--pos-weight-multiplier", type=float, default=1.0)
+    tc.add_argument("--save-best-only", dest="save_best_only",
+                    action="store_true", default=True)
+    tc.add_argument("--no-save-best-only", dest="save_best_only",
+                    action="store_false")
     tc.add_argument("--checkpoint-dir", default="checkpoints/classifier_runs")
     tc.add_argument("--suffix", default="")
 
@@ -642,8 +655,11 @@ def cmd_train_classifier(args):
     initialize_multihost()  # no-op single-process; DCN cluster via env
 
     cfg = TrainConfig(batch_size=args.batch_size, lr_phase1=args.base_lr,
-                      lr_phase2=args.finetune_lr)
-    mcfg = ClassifierConfig(unfreeze_from=args.unfreeze_from)
+                      lr_phase2=args.finetune_lr,
+                      percentile_low=args.percentile_low,
+                      percentile_high=args.percentile_high)
+    mcfg = ClassifierConfig(unfreeze_from=args.unfreeze_from,
+                            dropout_rate=args.dropout)
     trainer = ClassifierTrainer(
         args.dataset_root, cfg, mcfg,
         label_smoothing=args.label_smoothing,
@@ -651,6 +667,9 @@ def cmd_train_classifier(args):
         use_class_weights=args.use_class_weights,
         pos_weight_multiplier=args.pos_weight_multiplier,
         checkpoint_root=args.checkpoint_dir, suffix=args.suffix,
+        train_split=args.train_split, val_split=args.val_split,
+        patience=args.patience, save_best_only=args.save_best_only,
+        pretrained_weights=args.pretrained_weights,
     )
     result = trainer.train(args.warmup_epochs, args.finetune_epochs)
     print(json.dumps(result, indent=2))

@@ -188,15 +188,25 @@ class ClassifierTrainer:
         pos_weight_multiplier: float = 1.0,
         checkpoint_root: str | Path = "checkpoints/classifier_runs",
         suffix: str = "",
+        train_split: str = "train",
+        val_split: str = "val",
+        patience: int = 4,
+        save_best_only: bool = True,
+        pretrained_weights: str | Path | None = None,
     ):
-        self.cfg = cfg or TrainConfig(batch_size=16)
+        # classifier LRs: 1e-3 warmup / 1e-4 fine-tune (:479-503)
+        self.cfg = cfg or TrainConfig(batch_size=16, lr_phase1=1e-3,
+                                      lr_phase2=1e-4)
         self.model_cfg = model_cfg or ClassifierConfig()
         self.label_smoothing = label_smoothing
         self.percentile_norm = percentile_norm
+        self.patience = patience
+        self.save_best_only = save_best_only
+        self.pretrained_weights = pretrained_weights
         self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
         root = Path(dataset_root)
-        self.train_data = ClassificationDataset(root / "train", self.cfg.batch_size, self.cfg.seed)
-        self.val_data = ClassificationDataset(root / "val", self.cfg.batch_size, self.cfg.seed)
+        self.train_data = ClassificationDataset(root / train_split, self.cfg.batch_size, self.cfg.seed)
+        self.val_data = ClassificationDataset(root / val_split, self.cfg.batch_size, self.cfg.seed)
         if not len(self.train_data):
             raise FileNotFoundError(f"no classifier tiles under {root}")
 
@@ -229,7 +239,35 @@ class ClassifierTrainer:
         variables = self.model.init(
             key_for("classifier.init", self.cfg.seed), jnp.zeros((1, 299, 299, 3))
         )
+        if self.pretrained_weights:
+            variables = self._load_pretrained(variables, self.pretrained_weights)
         return replicate(self.mesh, variables)
+
+    @staticmethod
+    def _load_pretrained(variables, path: str | Path):
+        """Legacy transfer weights by name, skipping mismatches
+        (``train_adipose_classifier_v0.py:322-353``): TF ``.h5`` via the
+        importer, or an orbax checkpoint merged where shapes match."""
+        p = Path(path)
+        if p.suffix == ".h5" or p.name.endswith(".weights.h5"):
+            from adipose_tpu.models.tf_import import import_inception_weights
+
+            try:
+                return import_inception_weights(p, variables)
+            except ValueError as e:
+                print(f"[pretrained] TF import skipped: {e}")
+                return variables
+        loaded = ckpt.load_params(ckpt.resolve_weights_path(p))
+
+        def merge(dst, src):
+            if isinstance(dst, dict) and isinstance(src, dict):
+                return {k: merge(v, src[k]) if k in src else v
+                        for k, v in dst.items()}
+            if (hasattr(dst, "shape") and hasattr(src, "shape")
+                    and dst.shape == src.shape):
+                return jnp.asarray(src)
+            return dst
+        return merge(variables, loaded)
 
     def _run_phase(self, phase: int, variables, epochs: int, lr: float,
                    unfreeze_from: str | None, patience: int = 3):
@@ -275,12 +313,18 @@ class ClassifierTrainer:
                 "lr": plateau.lr, "epoch_time_s": time.time() - t0,
             }
             logger.log(epoch, row)
-            if val_auc > best_auc:
+            improved = val_auc > best_auc
+            if improved:
                 best_auc = val_auc
                 best_vars = jax.device_get(
                     {"params": state.params, "batch_stats": state.batch_stats}
                 )
-                ckpt.save_params(self.ckpt_dir, "weights_best", best_vars)
+            if improved or not self.save_best_only:
+                # save_best_only=False mirrors Keras ModelCheckpoint: the
+                # current epoch's weights land in the slot every epoch
+                ckpt.save_params(self.ckpt_dir, "weights_best", jax.device_get(
+                    {"params": state.params, "batch_stats": state.batch_stats}
+                ) if not improved else best_vars)
             state = state.replace(opt_state=set_learning_rate(state.opt_state, plateau.update(val_auc)))
             if stopper.update(val_auc, epoch):
                 break
@@ -289,9 +333,12 @@ class ClassifierTrainer:
 
     def train(self, warmup_epochs: int = 5, finetune_epochs: int = 20):
         variables = self.init_variables()
-        v1, auc1 = self._run_phase(1, variables, warmup_epochs, 1e-3, None)
+        v1, auc1 = self._run_phase(1, variables, warmup_epochs,
+                                   self.cfg.lr_phase1, None,
+                                   patience=self.patience)
         v2, auc2 = self._run_phase(
-            2, v1, finetune_epochs, 1e-4, self.model_cfg.unfreeze_from
+            2, v1, finetune_epochs, self.cfg.lr_phase2,
+            self.model_cfg.unfreeze_from, patience=self.patience,
         )
         ckpt.save_params(self.ckpt_dir, "weights_final", v2)
         return {"phase1_val_auc": auc1, "phase2_val_auc": auc2,

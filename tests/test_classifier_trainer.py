@@ -26,7 +26,9 @@ def class_dataset(tmp_path, rng):
 def test_two_phase_classifier_training(class_dataset):
     from adipose_tpu.train.trainer_classifier import ClassifierTrainer
 
-    cfg = TrainConfig(batch_size=4)
+    # classifier LRs (train_adipose_classifier_v0.py:479-503) — the trainer
+    # honors cfg.lr_phase1/2, so set them; bare TrainConfig carries U-Net LRs
+    cfg = TrainConfig(batch_size=4, lr_phase1=1e-3, lr_phase2=1e-4)
     trainer = ClassifierTrainer(
         class_dataset, cfg, ClassifierConfig(compute_dtype="float32"),
         percentile_norm=False,  # brightness IS the signal; keep it
