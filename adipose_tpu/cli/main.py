@@ -264,14 +264,57 @@ def build_parser() -> argparse.ArgumentParser:
                    default="float16",
                    help="prediction download precision (float16 halves "
                         "device->host transfer; error <= 5e-4)")
-    e.add_argument("--save-visualizations", action="store_true")
-    e.add_argument("--n-vis-samples", type=int, default=20)
+    e.add_argument("--save-visualizations", dest="save_visualizations",
+                   action="store_true", default=True)
+    e.add_argument("--no-visualizations", dest="save_visualizations",
+                   action="store_false")
+    e.add_argument("--n-vis-samples", type=int, default=10)
+    e.add_argument("--refine-kernel", type=int, default=5)
+    e.add_argument("--save-overlays", action="store_true",
+                   help="Dice-bucketed 4-panel dumps over a sampled pos/neg "
+                        "subset (full_evaluation_enhanced.py:1801-1876)")
+    e.add_argument("--n-positive", type=int, default=120)
+    e.add_argument("--n-negative", type=int, default=30)
     e.add_argument("--profile-dir", default=None)
+
+    def _add_eval_opts(p):
+        """The shared eval-config flag set (full_evaluation_enhanced.py:
+        2011-2046), reused by evaluate-checkpoints/visualize-metrics."""
+        p.add_argument("--use-tta", action="store_true")
+        p.add_argument("--tta-mode", choices=["minimal", "basic", "full"],
+                       default="basic")
+        p.add_argument("--sliding-window", action="store_true")
+        p.add_argument("--overlap", type=float, default=0.5)
+        p.add_argument("--blend-mode", choices=["gaussian", "linear", "none"],
+                       default="gaussian")
+        p.add_argument("--boundary-refine", action="store_true")
+        p.add_argument("--refine-kernel", type=int, default=5)
+        p.add_argument("--adaptive-threshold", action="store_true")
+        p.add_argument("--ema", action="store_true")
+
+    def _add_dataset_selectors(p):
+        """--val/--test/--human-test/--clean-test × --stain/--original
+        (evaluate_all_checkpoints.py:531-549), resolved under --data-root as
+        <root>/<stain_normalized|original>/<name> when that layout exists."""
+        p.add_argument("--data-root", default=None)
+        p.add_argument("--val", action="store_true")
+        p.add_argument("--test", action="store_true")
+        p.add_argument("--human-test", action="store_true")
+        p.add_argument("--clean-test", action="store_true")
+        g = p.add_mutually_exclusive_group()
+        g.add_argument("--stain", action="store_true")
+        g.add_argument("--original", action="store_true")
 
     ec = sub.add_parser("evaluate-checkpoints", help="batch-evaluate all checkpoints")
     ec.add_argument("--checkpoints-root", default="checkpoints/segmentation")
-    ec.add_argument("--test-dataset", required=True)
-    ec.add_argument("--use-tta", action="store_true")
+    ec.add_argument("--test-dataset", default=None,
+                    help="direct dataset path (or use the selector flags)")
+    _add_eval_opts(ec)
+    _add_dataset_selectors(ec)
+    ec.add_argument("--no-images", action="store_true",
+                    help="skip per-tile visualization images")
+    ec.add_argument("--parallel", action="store_true")
+    ec.add_argument("--max-workers", type=int, default=2)
     ec.add_argument("--n-bootstrap", type=int, default=2000)
     ec.add_argument("--transfer-dtype", choices=["float16", "float32"],
                     default="float16")
@@ -315,17 +358,38 @@ def build_parser() -> argparse.ArgumentParser:
     tce = sub.add_parser("tile-classification-eval",
                          help="score the segmenter as a tile classifier")
     tce.add_argument("--weights", required=True)
-    tce.add_argument("--test-dataset", required=True)
-    tce.add_argument("--coverage-threshold", type=float, default=0.025)
-    tce.add_argument("--multi-threshold", action="store_true")
+    tce.add_argument("--test-dataset", "--data-root", dest="test_dataset",
+                     required=True)
+    tce.add_argument("--coverage-threshold", type=float, default=None,
+                     help="fat coverage fraction for 'has fat' (our name)")
+    tce.add_argument("--threshold", type=float, default=10.0,
+                     help="fat PERCENTAGE threshold (reference name, "
+                          "tile_classification_evaluation.py:616)")
+    tce.add_argument("--mask-threshold", type=float, default=0.5,
+                     help="pixel threshold for the binary mask")
+    tce.add_argument("--multi-threshold", nargs="?", const=True, default=None,
+                     help="sweep thresholds; optionally a comma list of "
+                          "percentages, e.g. \"1,5,10,15,25\"")
+    tce.add_argument("--use-tta", action="store_true")
+    tce.add_argument("--tta-mode", choices=["minimal", "basic", "full"],
+                     default="basic")
+    tce.add_argument("--boundary-refine", action="store_true")
+    tce.add_argument("--refine-kernel", type=int, default=5)
     tce.add_argument("--transfer-dtype", choices=["float16", "float32"],
                      default="float16")
-    tce.add_argument("--output", default=None)
+    tce.add_argument("--output", "--output-dir", dest="output", default=None)
 
     vm = sub.add_parser("visualize-metrics", help="compare checkpoint metrics")
     vm.add_argument("--checkpoints-root", default="checkpoints/segmentation")
+    vm.add_argument("--checkpoints", nargs="+", default=None,
+                    help="restrict to these checkpoint dir names")
+    vm.add_argument("--name", default=None,
+                    help="output filename stem (visualize_checkpoint_metrics"
+                         ".py:739)")
     vm.add_argument("--metric", default="Dice Score")
     vm.add_argument("--output", default="checkpoint_comparison.png")
+    _add_eval_opts(vm)
+    _add_dataset_selectors(vm)
 
     # -- inference ------------------------------------------------------------
     s = sub.add_parser("segment", help="folder inference: masks + prob maps")
@@ -397,6 +461,21 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--tta-mode", choices=["minimal", "basic", "full"],
                    default="basic")
     r.add_argument("--boundary-refine", action="store_true")
+    r.add_argument("--refine-kernel", type=int, default=5)
+    r.add_argument("--threshold", type=float, default=0.5)
+    r.add_argument("--blend-mode", choices=["gaussian", "linear", "none"],
+                   default="gaussian")
+    r.add_argument("--max-tiles", type=int, default=None,
+                   help="limit each slide to its top-left NxN tile grid "
+                        "(reconstruct_full_images.py:663-678)")
+    r.add_argument("--save-masks", dest="save_masks", action="store_true",
+                   default=True)
+    r.add_argument("--no-save-masks", dest="save_masks", action="store_false")
+    r.add_argument("--save-overlays", action="store_true")
+    r.add_argument("--save-comparisons", action="store_true")
+    r.add_argument("--save-metrics", action="store_true",
+                   help="accepted for parity; per-slide metrics.json is "
+                        "always written when ground truth exists")
 
     ov = sub.add_parser("classification-overlay",
                         help="render TP/FP/FN/TN tile overlay on a WSI")
@@ -688,6 +767,10 @@ def _eval_config(args):
         n_bootstrap=args.n_bootstrap, use_ema_weights=args.ema,
         batch_size=args.batch_size,
         transfer_dtype=args.transfer_dtype,
+        refine_kernel=getattr(args, "refine_kernel", 5),
+        save_overlays=getattr(args, "save_overlays", False),
+        n_positive=getattr(args, "n_positive", 120),
+        n_negative=getattr(args, "n_negative", 30),
     )
 
 
@@ -707,14 +790,51 @@ def cmd_evaluate(args):
         print(f"{k:>16}: {v['mean']:.4f} [{v['ci_lower']:.4f}, {v['ci_upper']:.4f}]")
 
 
+def _selected_datasets(args):
+    """Resolve --val/--test/--human-test/--clean-test under --data-root
+    (layout <root>/<stain_normalized|original>/<name>, falling back to
+    <root>/<name>; evaluate_all_checkpoints.py:531-549,607)."""
+    names = [n for a, n in (("val", "val"), ("test", "test"),
+                            ("human_test", "human_test"),
+                            ("clean_test", "clean_test")) if getattr(args, a)]
+    if not names:
+        return []
+    root = Path(args.data_root or ".")
+    source = "stain_normalized" if args.stain else "original"
+    out = []
+    for n in names:
+        cand = root / source / n
+        out.append(cand if cand.exists() else root / n)
+    return out
+
+
 def cmd_evaluate_checkpoints(args):
     from adipose_tpu.core.config import EvalConfig
     from adipose_tpu.eval.batch_eval import CheckpointBatchEvaluator
 
-    cfg = EvalConfig(use_tta=args.use_tta, n_bootstrap=args.n_bootstrap,
-                     transfer_dtype=args.transfer_dtype)
-    be = CheckpointBatchEvaluator(args.checkpoints_root, args.test_dataset, cfg)
-    records = be.run()
+    cfg = EvalConfig(
+        use_tta=args.use_tta, tta_mode=args.tta_mode,
+        use_sliding_window=args.sliding_window, sliding_overlap=args.overlap,
+        blend_mode=args.blend_mode,
+        use_boundary_refinement=args.boundary_refine,
+        refine_kernel=args.refine_kernel,
+        adaptive_threshold=args.adaptive_threshold,
+        optimize_threshold=True, use_ema_weights=args.ema,
+        n_bootstrap=args.n_bootstrap, transfer_dtype=args.transfer_dtype,
+    )
+    datasets = _selected_datasets(args) or (
+        [Path(args.test_dataset)] if args.test_dataset else [])
+    if not datasets:
+        raise SystemExit("evaluate-checkpoints needs --test-dataset or a "
+                         "selector (--val/--test/--human-test/--clean-test)")
+    records = []
+    for ds in datasets:
+        be = CheckpointBatchEvaluator(
+            args.checkpoints_root, ds, cfg,
+            save_images=not args.no_images, parallel=args.parallel,
+            max_workers=args.max_workers,
+        )
+        records.extend(be.run(ds.name))
     for r in records:
         status = r["status"]
         extra = f" dice={r['dice']:.4f}" if status == "success" else f" {r.get('error', '')[:60]}"
@@ -1027,8 +1147,13 @@ def cmd_reconstruct(args):
     log = reconstruct_all_slides(
         args.images_dir, args.masks_dir, args.output_dir, predict, params,
         tile_size=args.tile_size, stride=args.stride,
-        min_coverage=args.min_coverage, data_root=args.data_root,
+        min_coverage=args.min_coverage, threshold=args.threshold,
+        data_root=args.data_root,
         batch_size=batch, use_refinement=args.boundary_refine,
+        blend_mode=args.blend_mode, refine_kernel=args.refine_kernel,
+        max_tiles=args.max_tiles, save_masks=args.save_masks,
+        save_overlays=args.save_overlays,
+        save_comparisons=args.save_comparisons,
     )
     print(json.dumps({"slides": list(log["slides"]), "skipped": log["skipped"]},
                      indent=2))
@@ -1042,14 +1167,24 @@ def cmd_tile_classification_eval(args):
 
     ev = PublicationEvaluator(
         args.weights,
-        EvalConfig(batch_size=8, transfer_dtype=args.transfer_dtype),
+        EvalConfig(batch_size=8, transfer_dtype=args.transfer_dtype,
+                   use_tta=args.use_tta, tta_mode=args.tta_mode,
+                   use_boundary_refinement=args.boundary_refine,
+                   refine_kernel=args.refine_kernel),
     )
     pairs = load_validation_data(args.test_dataset)
     _, preds = ev.predict_tiles([p for p, _ in pairs])
     trues = [(read_image_gray(m) > 127).astype(np.float32) for _, m in pairs]
     out = args.output or (ev.checkpoint_dir / "evaluation" / "tile_classification")
+    # --threshold is a percentage (reference); --coverage-threshold a fraction
+    coverage = (args.coverage_threshold if args.coverage_threshold is not None
+                else args.threshold / 100.0)
+    multi = args.multi_threshold
+    if isinstance(multi, str):
+        multi = [float(x) / 100.0 for x in multi.split(",") if x.strip()]
     results = run_tile_classification_evaluation(
-        preds, trues, out, args.coverage_threshold, args.multi_threshold
+        preds, trues, out, coverage, multi,
+        pixel_threshold=args.mask_threshold,
     )
     print(json.dumps(results, indent=2, default=float))
 
@@ -1058,11 +1193,34 @@ def cmd_visualize_metrics(args):
     from adipose_tpu.core.config import EvalConfig
     from adipose_tpu.eval.batch_eval import collect_checkpoint_metrics, plot_checkpoint_comparison
 
-    df = collect_checkpoint_metrics(args.checkpoints_root, EvalConfig())
+    cfg = EvalConfig(
+        use_tta=args.use_tta, tta_mode=args.tta_mode,
+        use_sliding_window=args.sliding_window, sliding_overlap=args.overlap,
+        blend_mode=args.blend_mode,
+        use_boundary_refinement=args.boundary_refine,
+        refine_kernel=args.refine_kernel,
+        adaptive_threshold=args.adaptive_threshold,
+        use_ema_weights=args.ema,
+    )
+    df = collect_checkpoint_metrics(args.checkpoints_root, cfg)
+    if not df.empty and args.checkpoints:
+        df = df[df["checkpoint"].isin(args.checkpoints)]
+    # dataset/source selectors filter on the eval-dir name prefix
+    # ({dataset}_{source}_..., full_evaluation_enhanced.py:2060-2101)
+    names = [n for a, n in (("val", "val"), ("test", "test"),
+                            ("human_test", "human_test"),
+                            ("clean_test", "clean_test")) if getattr(args, a)]
+    if not df.empty and names:
+        df = df[df["eval_dir"].map(
+            lambda d: any(d.startswith(f"{n}_") for n in names))]
+    if not df.empty and (args.stain or args.original):
+        source = "stain" if args.stain else "original"
+        df = df[df["eval_dir"].str.contains(f"_{source}")]
     if df.empty:
         print("no evaluated checkpoints found")
         return
-    out = plot_checkpoint_comparison(df, args.output, args.metric)
+    output = (f"{args.name}.png" if args.name else args.output)
+    out = plot_checkpoint_comparison(df, output, args.metric)
     print(f"wrote {out}")
 
 

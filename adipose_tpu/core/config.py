@@ -136,6 +136,7 @@ class EvalConfig(_JsonMixin):
     sliding_overlap: float = 0.5
     blend_mode: str = "gaussian"  # gaussian|linear|none
     use_boundary_refinement: bool = False
+    refine_kernel: int = 5  # --refine-kernel (:1452)
     threshold: float = 0.5
     optimize_threshold: bool = True
     adaptive_threshold: bool = False  # two-stage 0.1-0.9 grid (:891-939)
@@ -150,6 +151,11 @@ class EvalConfig(_JsonMixin):
     # quantization error — inside the model-wide bf16 noise band. 'float32'
     # restores exact downloads.
     transfer_dtype: str = "float16"
+    # Dice-bucketed overlay dumps over a sampled pos/neg tile subset
+    # (--save-overlays/--n-positive/--n-negative, :1111-1140, :1801-1876)
+    save_overlays: bool = False
+    n_positive: int = 120
+    n_negative: int = 30
 
 
 @dataclass

@@ -51,7 +51,8 @@ def build_eval_config_string(cfg: EvalConfig) -> str:
             sw += f"_o{int(cfg.sliding_overlap * 100)}"
         parts.append(sw)
     if cfg.use_boundary_refinement:
-        parts.append("refine")
+        parts.append("refine" if cfg.refine_kernel == 5
+                     else f"refine{cfg.refine_kernel}")
     if cfg.adaptive_threshold:
         parts.append("adaptive")
     return "_".join(parts)
@@ -62,31 +63,49 @@ class CheckpointBatchEvaluator:
     wall-clock budget per run (replacing the reference's subprocess timeout)."""
 
     def __init__(self, checkpoints_root: str | Path, data_root: str | Path,
-                 cfg: EvalConfig | None = None, timeout_s: float = 3600.0):
+                 cfg: EvalConfig | None = None, timeout_s: float = 3600.0,
+                 save_images: bool = False, parallel: bool = False,
+                 max_workers: int = 2):
         self.checkpoints_root = Path(checkpoints_root)
         self.data_root = Path(data_root)
         self.cfg = cfg or EvalConfig()
         self.timeout_s = timeout_s
+        self.save_images = save_images
+        self.parallel = parallel  # --parallel/--max-workers (:560-565)
+        self.max_workers = max_workers
         self.records: list = []
 
-    def run(self, dataset_name: str = "test") -> list:
+    def _eval_one(self, run_dir, dataset_name: str) -> dict:
         from adipose_tpu.eval.evaluator import PublicationEvaluator
 
-        for run_dir in discover_checkpoints(self.checkpoints_root):
-            rec = {"checkpoint": str(run_dir), "status": "pending"}
-            t0 = time.time()
-            try:
-                ev = PublicationEvaluator(run_dir, self.cfg)
-                results = ev.evaluate(self.data_root, dataset_name)
-                rec.update(status="success", elapsed_s=time.time() - t0,
-                           dice=results["metrics"]["dice_score"]["mean"],
-                           threshold=results["optimal_threshold"])
-            except Exception as e:
-                rec.update(status="failed", elapsed_s=time.time() - t0,
-                           error=str(e), traceback=traceback.format_exc())
-            self.records.append(rec)
-            if time.time() - t0 > self.timeout_s:
-                rec["timed_out"] = True
+        rec = {"checkpoint": str(run_dir), "status": "pending"}
+        t0 = time.time()
+        try:
+            ev = PublicationEvaluator(run_dir, self.cfg)
+            results = ev.evaluate(self.data_root, dataset_name,
+                                  save_visualizations=self.save_images)
+            rec.update(status="success", elapsed_s=time.time() - t0,
+                       dice=results["metrics"]["dice_score"]["mean"],
+                       threshold=results["optimal_threshold"])
+        except Exception as e:
+            rec.update(status="failed", elapsed_s=time.time() - t0,
+                       error=str(e), traceback=traceback.format_exc())
+        if time.time() - t0 > self.timeout_s:
+            rec["timed_out"] = True
+        return rec
+
+    def run(self, dataset_name: str = "test") -> list:
+        run_dirs = discover_checkpoints(self.checkpoints_root)
+        if self.parallel and len(run_dirs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+                self.records.extend(
+                    pool.map(lambda d: self._eval_one(d, dataset_name), run_dirs)
+                )
+        else:
+            for run_dir in run_dirs:
+                self.records.append(self._eval_one(run_dir, dataset_name))
         summary_path = self.checkpoints_root / "batch_evaluation_summary.json"
         summary_path.write_text(json.dumps(self.records, indent=2, default=str))
         return self.records

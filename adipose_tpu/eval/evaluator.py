@@ -111,7 +111,9 @@ def build_output_dir(
             sw += f"_o{int(cfg.sliding_overlap * 100)}"
         suffixes.append(sw)
     if cfg.use_boundary_refinement:
-        suffixes.append("refine")
+        # non-default kernel encoded in the dir name (:2081-2082)
+        suffixes.append("refine" if cfg.refine_kernel == 5
+                        else f"refine{cfg.refine_kernel}")
     if cfg.adaptive_threshold:
         suffixes.append("adaptive")
     name = f"{dataset_name}_{source}" + ("_" + "_".join(suffixes) if suffixes else "")
@@ -179,7 +181,8 @@ class PublicationEvaluator:
     def predict_tiles(self, image_paths) -> list:
         """Predict every tile; same-shape tiles batch together on device."""
         cfg = self.cfg
-        refiner = BoundaryRefiner() if cfg.use_boundary_refinement else None
+        refiner = (BoundaryRefiner(kernel_size=cfg.refine_kernel)
+                   if cfg.use_boundary_refinement else None)
         images = [read_image_gray(p) for p in image_paths]
         preds: list = [None] * len(images)
 
@@ -312,6 +315,26 @@ class PublicationEvaluator:
                 tile_paths[:n_vis_samples], out / "visualizations", threshold,
             )
             results["visualization_buckets"] = counts
+
+        if cfg.save_overlays:
+            # Dice-bucketed 4-panel dumps over a SAMPLED pos/neg tile subset
+            # (sample_tiles :1111-1140; overlays loop :1801-1876)
+            from adipose_tpu.eval.visualize import save_bucketed_visualizations
+
+            rng = np.random.RandomState(cfg.eval_seed)
+            pos_idx = [i for i, t in enumerate(trues) if t.max() > 0]
+            neg_idx = [i for i, t in enumerate(trues) if t.max() == 0]
+            sample = lambda idx, n: (idx if len(idx) <= n else
+                                     list(rng.choice(idx, n, replace=False)))
+            chosen = sample(pos_idx, cfg.n_positive) + sample(neg_idx, cfg.n_negative)
+            dices = [r["dice_score"] for r in tile_rows]
+            counts = save_bucketed_visualizations(
+                [images[i] for i in chosen], [preds[i] for i in chosen],
+                [trues[i] for i in chosen], [dices[i] for i in chosen],
+                [tile_paths[i] for i in chosen], out / "overlays", threshold,
+                max_per_bucket=10 ** 9,
+            )
+            results["overlay_buckets"] = counts
         return results
 
     def _write_artifacts(self, out: Path, dataset_name: str, results: dict, tile_rows):

@@ -73,13 +73,22 @@ def multi_threshold_sweep(
 
 def run_tile_classification_evaluation(
     predictions, ground_truths, output_dir: str | Path,
-    coverage_threshold: float = 0.025, multi_threshold: bool = False,
+    coverage_threshold: float = 0.025, multi_threshold=False,
+    pixel_threshold: float = 0.5,
 ) -> dict:
+    """``multi_threshold``: True sweeps the default ladder; a sequence of
+    coverage fractions sweeps those (the reference's comma-list
+    ``--multi-threshold "1,5,10"``, ``tile_classification_evaluation.py:620``)."""
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    results = evaluate_tiles(predictions, ground_truths, coverage_threshold)
+    results = evaluate_tiles(predictions, ground_truths, coverage_threshold,
+                             pixel_threshold)
     if multi_threshold:
-        results["threshold_sweep"] = multi_threshold_sweep(predictions, ground_truths)
+        kwargs = {"pixel_threshold": pixel_threshold}
+        if not isinstance(multi_threshold, bool):
+            kwargs["coverage_thresholds"] = tuple(multi_threshold)
+        results["threshold_sweep"] = multi_threshold_sweep(
+            predictions, ground_truths, **kwargs)
     (out / "tile_classification_metrics.json").write_text(
         json.dumps(results, indent=2, default=float)
     )

@@ -108,14 +108,22 @@ class SlideReconstructor:
         batch_size: int = 8,
         use_refinement: bool = False,
         stripe_tiles: int = 0,
+        blend_mode: str = "gaussian",
+        refine_kernel: int = 5,
     ):
         self.predict_fn = predict_fn
         self.params = params
         self.tile_size = tile_size
         self.stride = stride
         self.batch_size = batch_size
-        self.weight_map = gaussian_weight_map(tile_size, blend_sigma_factor)
-        self.refiner = BoundaryRefiner() if use_refinement else None
+        # 'linear'/'none' average uniformly (reconstruct_full_images.py:898)
+        self.weight_map = (
+            gaussian_weight_map(tile_size, blend_sigma_factor)
+            if blend_mode == "gaussian"
+            else jnp.ones((tile_size, tile_size), jnp.float32)
+        )
+        self.refiner = (BoundaryRefiner(kernel_size=refine_kernel)
+                        if use_refinement else None)
         self.stripe_tiles = stripe_tiles  # 0 = single canvas
 
     def _predict_batch(self, tiles: np.ndarray) -> np.ndarray:
@@ -238,15 +246,34 @@ def reconstruct_all_slides(
     data_root: str | Path | None = None,
     batch_size: int = 8,
     use_refinement: bool = False,
+    blend_mode: str = "gaussian",
+    refine_kernel: int = 5,
+    max_tiles: int | None = None,
+    save_masks: bool = True,
+    save_overlays: bool = False,
+    save_comparisons: bool = False,
 ) -> dict:
     """Batch driver with coverage gating, per-slide outputs, and
-    ``reconstruction_log.json`` (:586-866)."""
+    ``reconstruction_log.json`` (:586-866). ``max_tiles`` limits each slide to
+    its top-left N×N tile grid, encoded in the output dir name (:603-678)."""
     output_dir = Path(output_dir)
+    if max_tiles:
+        output_dir = output_dir.parent / f"{output_dir.name}_{max_tiles}x{max_tiles}"
     output_dir.mkdir(parents=True, exist_ok=True)
     slides = group_tiles_by_slide(images_dir, masks_dir)
+    if max_tiles:
+        for info in slides.values():
+            info["tiles"] = [t for t in info["tiles"]
+                             if t[0] < max_tiles and t[1] < max_tiles]
+            info["positions"] = {(r, c) for r, c in info["positions"]
+                                 if r < max_tiles and c < max_tiles}
+            info["row_range"] = (0, max_tiles - 1)
+            info["col_range"] = (0, max_tiles - 1)
     recon = SlideReconstructor(predict_fn, params, tile_size, stride,
                                batch_size=batch_size,
-                               use_refinement=use_refinement)
+                               use_refinement=use_refinement,
+                               blend_mode=blend_mode,
+                               refine_kernel=refine_kernel)
     log = {
         "timestamp": datetime.now().isoformat(),
         "n_slides": len(slides),
@@ -259,7 +286,7 @@ def reconstruct_all_slides(
         if cov < min_coverage:
             log["skipped"][slide_id] = {"coverage": cov}
             continue
-        src = find_source_image(slide_id, data_root)
+        src = None if max_tiles else find_source_image(slide_id, data_root)
         if src is not None:
             src_img = cv2.imread(str(src), cv2.IMREAD_UNCHANGED)
             shape = src_img.shape[:2]
@@ -271,9 +298,16 @@ def reconstruct_all_slides(
         slide_dir.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(slide_dir / "prediction.png"),
                     (np.clip(pred, 0, 1) * 255).astype(np.uint8))
-        cv2.imwrite(str(slide_dir / "binary_mask.png"),
-                    ((pred > threshold) * 255).astype(np.uint8))
+        if save_masks:
+            cv2.imwrite(str(slide_dir / "binary_mask.png"),
+                        ((pred > threshold) * 255).astype(np.uint8))
         cv2.imwrite(str(slide_dir / "image.png"), np.clip(img, 0, 255).astype(np.uint8))
+        if save_overlays:
+            from adipose_tpu.eval.visualize import color_overlay
+
+            ov = color_overlay(img, pred > threshold, (0, 255, 255))
+            cv2.imwrite(str(slide_dir / "overlay.png"),
+                        cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
         entry = {"coverage": cov, "shape": list(shape)}
         if gt is not None:
             cv2.imwrite(str(slide_dir / "ground_truth.png"),
@@ -283,6 +317,13 @@ def reconstruct_all_slides(
             entry["metrics"] = m
             (slide_dir / "metrics.json").write_text(json.dumps(m, indent=2))
             summary_rows.append({"slide": slide_id, **m})
+            if save_comparisons:
+                from adipose_tpu.eval.visualize import create_4panel_visualization
+
+                create_4panel_visualization(
+                    img, gt, pred, m["dice_score"],
+                    slide_dir / "comparison_4panel.png", threshold,
+                )
         log["slides"][slide_id] = entry
     (output_dir / "reconstruction_log.json").write_text(json.dumps(log, indent=2))
     if summary_rows:
