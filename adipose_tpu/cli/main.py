@@ -141,11 +141,38 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("build-class-dataset", help="build classification tile dataset")
     c.add_argument("--data-root", required=True)
     c.add_argument("--tile-size", type=int, default=1024)
+    c.add_argument("--stride", type=int, default=1024)
     c.add_argument("--adipose-threshold", type=float, default=0.025)
     c.add_argument("--channel", choices=["pseudocolored", "ecm"], default="pseudocolored")
-    c.add_argument("--neg-pct", type=float, default=0.40)
-    c.add_argument("--apply-stain-norm", type=_bool, default=False)
-    c.add_argument("--out-parent", default=".")
+    c.add_argument("--val-ratio", type=float, default=0.20)
+    c.add_argument("--test-ratio", type=float, default=0.0)
+    c.add_argument("--white-threshold", type=int, default=245)
+    c.add_argument("--white-ratio-limit", type=float, default=0.70)
+    c.add_argument("--blurry-threshold", type=float, default=7.5)
+    c.add_argument("--min-confidence-train", type=int, choices=[1, 2, 3],
+                   default=1)
+    c.add_argument("--min-confidence-val", type=int, choices=[1, 2, 3],
+                   default=2)
+    c.add_argument("--include-ambiguous", type=_bool, default=False)
+    c.add_argument("--jpeg-quality", type=int, default=100)
+    c.add_argument("--seed", type=int, default=None)
+    c.add_argument("--keep-white", type=_bool, default=True)
+    c.add_argument("--keep-blurry", type=_bool, default=True)
+    c.add_argument("--balance-classes", dest="balance_classes",
+                   action="store_true", default=True)
+    c.add_argument("--no-balance", dest="balance_classes", action="store_false")
+    c.add_argument("--target-adipose-ratio", "--neg-pct", dest="neg_pct",
+                   type=float, default=0.40,
+                   help="adipose share of the balanced set "
+                        "(build_class_dataset.py:155-156)")
+    c.add_argument("--stain-normalize", type=_bool, default=None)
+    c.add_argument("--apply-stain-norm", type=_bool, default=None,
+                   help="alias of --stain-normalize")
+    c.add_argument("--reference-path", default=None)
+    c.add_argument("--reference-metadata", default=None)
+    c.add_argument("--exclude-test-duplicates", type=_bool, default=True)
+    c.add_argument("--out-parent", "--output-root", dest="out_parent",
+                   default=None)
 
     # -- training -------------------------------------------------------------
     t = sub.add_parser("train-unet", help="two-phase U-Net fine-tuning")
@@ -350,6 +377,8 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--save-examples", action="store_true", default=True)
     cl.add_argument("--no-examples", dest="save_examples", action="store_false")
     cl.add_argument("--num-examples", type=int, default=10)
+    cl.add_argument("--percentile-norm-examples", type=_bool, default=True,
+                    help="render example dumps percentile-normalized")
     cl.add_argument("--percentile-norm", type=_bool, default=True)
     cl.add_argument("--percentile-low", type=float, default=1.0)
     cl.add_argument("--percentile-high", type=float, default=99.0)
@@ -444,6 +473,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="save positive tiles annotated with their probability "
                          "(the reference declares this flag but never acts on "
                          "it; here it works)")
+    ci.add_argument("--gpu", default=None,
+                    help="accepted for parity; device selection is the mesh's "
+                         "job on TPU (classification_inference.py:182-186)")
     ci.add_argument("--batch-size", type=int, default=32)
 
     r = sub.add_parser("reconstruct", help="rebuild full slides from tiles")
@@ -479,12 +511,31 @@ def build_parser() -> argparse.ArgumentParser:
 
     ov = sub.add_parser("classification-overlay",
                         help="render TP/FP/FN/TN tile overlay on a WSI")
-    ov.add_argument("--wsi", required=True)
+    ov.add_argument("--wsi", default=None, help="a single WSI file")
+    ov.add_argument("--wsi-dir", default=None,
+                    help="directory of WSIs — one overlay per slide whose "
+                         "predictions match its stem "
+                         "(reconstruct_wsi_classification.py:97)")
+    ov.add_argument("--tiles-dir", default=None,
+                    help="accepted for parity; tile coords come from the "
+                         "prediction filenames")
     ov.add_argument("--predictions-csv", required=True)
-    ov.add_argument("--output", required=True)
+    ov.add_argument("--metrics-json", default=None,
+                    help="take the threshold from its best_threshold")
+    ov.add_argument("--output", default=None, help="output file (single-WSI)")
+    ov.add_argument("--output-dir", default=None,
+                    help="output directory (multi-WSI)")
     ov.add_argument("--tile-size", type=int, default=1024)
-    ov.add_argument("--combine", type=int, default=1)
-    ov.add_argument("--threshold", type=float, default=0.5)
+    ov.add_argument("--combine", "--combine-patches", dest="combine",
+                    type=int, default=3)
+    ov.add_argument("--overlay-alpha", type=float, default=0.4)
+    ov.add_argument("--downsample", type=int, default=8)
+    ov.add_argument("--save-original", dest="save_original",
+                    action="store_true", default=False)
+    ov.add_argument("--no-save-original", dest="save_original",
+                    action="store_false")
+    ov.add_argument("--threshold", type=float, default=None,
+                    help="default: metrics-json best_threshold, else 0.5")
 
     rp = sub.add_parser("run-pipeline",
                         help="build → train → val-eval → test-eval "
@@ -517,46 +568,107 @@ def build_parser() -> argparse.ArgumentParser:
                     help="final probability-map download precision")
 
     # -- preprocessing tools --------------------------------------------------
-    ch = sub.add_parser("chunk-wsi", help="cut a huge WSI into chunks")
-    ch.add_argument("--input", required=True)
+    ch = sub.add_parser("chunk-wsi", help="cut huge WSIs into chunks")
+    ch.add_argument("--input", default=None, help="a single WSI file")
+    ch.add_argument("--input-dir", default=None,
+                    help="directory of WSIs (reference driver, "
+                         "large_wsi_to_small_wsi_MS.py:642)")
     ch.add_argument("--output-dir", required=True)
     ch.add_argument("--mode", choices=["adaptive", "grid"], default="adaptive")
     ch.add_argument("--primary-tile", type=int, default=6144)
     ch.add_argument("--grid-tile", type=int, default=2048)
     ch.add_argument("--grid-overlap", type=int, default=204)
-    ch.add_argument("--enhancement", choices=["none", "zscore", "percentile", "clahe"],
+    ch.add_argument("--max-file-size-mb", type=float, default=50.0)
+    ch.add_argument("--max-dimension-px", type=int, default=13112)
+    ch.add_argument("--min-dimension-px", type=int, default=13112)
+    ch.add_argument("--extensions", default=".tif,.tiff,.png,.jpg,.jpeg")
+    ch.add_argument("--output-format", choices=["auto", "jpg", "jpeg", "png",
+                                                "tif", "tiff"], default="auto")
+    ch.add_argument("--bit-depth", choices=["auto", "8", "16"], default="auto")
+    ch.add_argument("--enhancement", "--enhancement-method", dest="enhancement",
+                    choices=["none", "zscore", "percentile", "clahe"],
                     default="none")
+    ch.add_argument("--save-enhanced", action="store_true")
     ch.add_argument("--invert", action="store_true")
+    ch.add_argument("--skip-existing", action="store_true")
+    ch.add_argument("--dry-run", action="store_true")
 
     pe = sub.add_parser("preprocess-ecm", help="ECM channel cleanup (deband etc.)")
     pe.add_argument("--input-dir", required=True)
     pe.add_argument("--output-dir", required=True)
-    pe.add_argument("--deband", choices=["fft", "morphological", "column_norm", "none"],
-                    default="fft")
-    pe.add_argument("--illumination",
-                    choices=["rolling_ball", "gaussian", "tophat", "clahe", "none"],
+    # banding removal (preprocess_small_MS_SIMs.py:853-878)
+    pe.add_argument("--deband", "--banding-method", dest="deband",
+                    choices=["fft", "morphological", "column_norm", "column",
+                             "none"],
                     default="none")
-    pe.add_argument("--clahe", action="store_true")
+    pe.add_argument("--fft-freq-low", type=float, default=0.01)
+    pe.add_argument("--fft-freq-high", type=float, default=0.05)
+    pe.add_argument("--fft-width", type=int, default=3)
+    pe.add_argument("--fft-sigma-scale", type=float, default=0.5)
+    pe.add_argument("--fft-blend", type=float, default=1.0)
+    pe.add_argument("--morph-width", type=int, default=1)
+    pe.add_argument("--morph-height", type=int, default=512)
+    pe.add_argument("--column-preserve-global", action="store_true",
+                    default=True)
+    # normalization (:881-889)
+    pe.add_argument("--normalization-method",
+                    choices=["percentile", "zscore", "none"], default="none")
+    pe.add_argument("--percentile-low", type=float, default=1.0)
+    pe.add_argument("--percentile-high", type=float, default=99.0)
+    # illumination correction (:892-914)
+    pe.add_argument("--illumination", "--illumination-method",
+                    dest="illumination",
+                    choices=["rolling_ball", "rolling-ball", "gaussian",
+                             "polynomial", "tophat", "clahe", "none"],
+                    default="none")
+    pe.add_argument("--rolling-ball-radius", type=int, default=100)
+    pe.add_argument("--poly-sigma", type=float, default=150.0)
+    pe.add_argument("--tophat-kernel", type=int, default=301)
+    pe.add_argument("--clahe-illum-tile", type=int, default=16)
+    pe.add_argument("--clahe-illum-clip", type=float, default=2.0)
+    # contrast + sharpening (:917-932)
+    pe.add_argument("--clahe", "--enhance-contrast", dest="clahe",
+                    action="store_true")
+    pe.add_argument("--clahe-tile-size", type=int, default=16)
+    pe.add_argument("--clahe-clip-limit", type=float, default=3.0)
     pe.add_argument("--sharpen", action="store_true")
+    pe.add_argument("--sharpen-sigma", type=float, default=1.0)
+    pe.add_argument("--sharpen-amount", type=float, default=0.5)
+    # visualization / test mode (:935-945)
+    pe.add_argument("--visualize", action="store_true")
+    pe.add_argument("--max-visualizations", type=int, default=10)
+    pe.add_argument("--test-mode", action="store_true")
+    pe.add_argument("--test-samples", type=int, default=5)
 
     se = sub.add_parser("scale-ecm", help="resample ECM images to reference dims")
-    se.add_argument("--input-dir", required=True)
+    se.add_argument("--input-dir", "--target-dir", dest="input_dir",
+                    required=True,
+                    help="ECM images to resample (reference name: "
+                         "--target-dir, ECM_scaling.py:201)")
     se.add_argument("--reference-dir", required=True)
     se.add_argument("--output-dir", required=True)
     se.add_argument("--interpolation",
                     choices=["nearest", "bilinear", "bicubic", "lanczos"],
                     default="bilinear")
+    se.add_argument("--dry-run", action="store_true")
 
     cm = sub.add_parser("compare-modalities", help="Pseudocolored vs ECM metrics")
     cm.add_argument("--pseudo-dir", required=True)
     cm.add_argument("--ecm-dir", required=True)
     cm.add_argument("--output-dir", required=True)
     cm.add_argument("--n-samples", type=int, default=50)
+    cm.add_argument("--n-perfect", type=int, default=None,
+                    help="sample N same-dimension pairs separately")
+    cm.add_argument("--n-mismatch", type=int, default=None,
+                    help="sample N dimension-mismatched pairs separately")
+    cm.add_argument("--seed", type=int, default=None)
 
     tj = sub.add_parser("tif2jpg", help="16-bit TIFF → 8-bit JPEG")
     tj.add_argument("--input-dir", required=True)
     tj.add_argument("--output-dir", required=True)
     tj.add_argument("--quality", type=int, default=95)
+    tj.add_argument("--invert", action="store_true")
+    tj.add_argument("--dry-run", action="store_true")
 
     an = sub.add_parser("analyze-tiles", help="tile-quality census + "
                         "preprocessing-variant comparison")
@@ -673,13 +785,32 @@ def cmd_build_class_dataset(args):
     from adipose_tpu.core.config import DataBuildConfig
     from adipose_tpu.data.class_builder import ClassificationDatasetBuilder
 
+    from adipose_tpu.core.seeding import get_project_seed
+
+    stain = next((v for v in (args.apply_stain_norm, args.stain_normalize)
+                  if v is not None), False)
     cfg = DataBuildConfig(
-        tile_size=args.tile_size,
+        tile_size=args.tile_size, stride=args.stride,
         adipose_coverage_threshold=args.adipose_threshold,
         channel=args.channel, negative_fraction=args.neg_pct,
-        apply_stain_norm=args.apply_stain_norm,
+        apply_stain_norm=stain,
+        val_fraction=args.val_ratio, test_fraction=args.test_ratio,
+        white_threshold=args.white_threshold,
+        white_ratio=args.white_ratio_limit,
+        blur_threshold=args.blurry_threshold,
+        min_confidence_train=args.min_confidence_train,
+        min_confidence_eval=args.min_confidence_val,
+        include_ambiguous=args.include_ambiguous,
+        jpeg_quality=args.jpeg_quality,
+        seed=args.seed if args.seed is not None else get_project_seed(),
+        keep_white=args.keep_white, keep_blurry=args.keep_blurry,
+        balance_classes=args.balance_classes,
+        reference_path=args.reference_path,
+        reference_metadata=args.reference_metadata,
+        exclude_test_duplicates=args.exclude_test_duplicates,
     )
-    builder = ClassificationDatasetBuilder(cfg, out_parent=args.out_parent)
+    builder = ClassificationDatasetBuilder(
+        cfg, out_parent=args.out_parent or args.data_root)
     root = builder.build(args.data_root)
     print(f"build complete: {root}")
 
@@ -896,6 +1027,7 @@ def cmd_eval_classifier(args):
         calibration=args.calibration, calibration_dataset=cal_ds,
         save_examples=args.save_examples, num_examples=args.num_examples,
         slide_map=slide_map, plots=args.save_plots,
+        percentile_norm_examples=args.percentile_norm_examples,
     )
     print(json.dumps({k: results[k] for k in ("roc_auc", "pr_auc", "best_threshold")},
                      indent=2))
@@ -1230,7 +1362,13 @@ def cmd_classification_overlay(args):
 
     from adipose_tpu.wsi.overlay import create_overlay
 
-    wsi = cv2.imread(args.wsi, cv2.IMREAD_UNCHANGED)
+    threshold = args.threshold
+    if threshold is None and args.metrics_json:
+        threshold = float(json.loads(Path(args.metrics_json).read_text())
+                          .get("best_threshold", 0.5))
+    if threshold is None:
+        threshold = 0.5
+
     df = pd.read_csv(args.predictions_csv)
     # accept the three CSV dialects: the reference evaluator's
     # (path/label/prob, reconstruct_wsi_classification.py:223-225), the
@@ -1246,13 +1384,43 @@ def cmd_classification_overlay(args):
     for _, row in df.iterrows():
         fname = Path(str(col(row, "path", "image_path", "file"))).name
         prob = col(row, "prob", "adipose_probability", "probability")
-        pred = (int(float(prob) >= args.threshold) if prob is not None
+        pred = (int(float(prob) >= threshold) if prob is not None
                 else int(col(row, "binary_prediction", "prediction", default=0)))
         label = int(col(row, "label", default=pred))
         results.append((fname, label, pred))
-    out = create_overlay(wsi, results, args.tile_size, args.combine)
-    cv2.imwrite(args.output, out)
-    print(f"wrote {args.output}")
+
+    def render(wsi_path: Path, out_path: Path, subset):
+        wsi = cv2.imread(str(wsi_path), cv2.IMREAD_UNCHANGED)
+        if wsi is None:
+            print(f"skipping unreadable {wsi_path}")
+            return
+        out = create_overlay(wsi, subset, args.tile_size, args.combine,
+                             alpha=args.overlay_alpha,
+                             downsample=args.downsample)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(out_path), out)
+        if args.save_original:
+            ds = wsi[:: args.downsample, :: args.downsample]
+            cv2.imwrite(str(out_path.parent / f"{wsi_path.stem}_original.png"), ds)
+        print(f"wrote {out_path}")
+
+    if args.wsi_dir:
+        out_dir = Path(args.output_dir or args.output or ".")
+        exts = (".tif", ".tiff", ".png", ".jpg", ".jpeg")
+        for wsi_path in sorted(Path(args.wsi_dir).iterdir()):
+            if wsi_path.suffix.lower() not in exts or not wsi_path.is_file():
+                continue
+            subset = [r for r in results if r[0].startswith(wsi_path.stem)]
+            if not subset:
+                continue
+            render(wsi_path, out_dir / f"{wsi_path.stem}_overlay.png", subset)
+    elif args.wsi:
+        out = Path(args.output or
+                   (Path(args.output_dir or ".") /
+                    f"{Path(args.wsi).stem}_overlay.png"))
+        render(Path(args.wsi), out, results)
+    else:
+        raise SystemExit("classification-overlay requires --wsi or --wsi-dir")
 
 
 def cmd_pipeline(args):
@@ -1358,24 +1526,73 @@ def cmd_run_pipeline(args):
 
 def cmd_chunk_wsi(args):
     from adipose_tpu.core.config import WSIChunkConfig
-    from adipose_tpu.wsi.chunker import chunk_wsi_adaptive, chunk_wsi_grid
+    from adipose_tpu.wsi.chunker import (chunk_directory, chunk_wsi_adaptive,
+                                         chunk_wsi_grid)
 
-    cfg = WSIChunkConfig(primary_tile=args.primary_tile, grid_tile=args.grid_tile,
-                         grid_overlap=args.grid_overlap,
-                         enhancement=args.enhancement, invert=args.invert)
-    fn = chunk_wsi_adaptive if args.mode == "adaptive" else chunk_wsi_grid
-    written = fn(args.input, args.output_dir, cfg)
-    print(f"wrote {len(written)} chunks to {args.output_dir}")
+    cfg = WSIChunkConfig(
+        primary_tile=args.primary_tile, grid_tile=args.grid_tile,
+        grid_overlap=args.grid_overlap,
+        enhancement=args.enhancement, invert=args.invert,
+        max_chunk_mb=args.max_file_size_mb,
+        max_dimension_px=args.max_dimension_px,
+        min_dimension_px=args.min_dimension_px,
+        output_format=args.output_format, bit_depth=args.bit_depth,
+        save_enhanced=args.save_enhanced,
+    )
+    if args.input_dir:
+        exts = tuple(
+            e if e.startswith(".") else f".{e}"
+            for e in (s.strip().lower() for s in args.extensions.split(","))
+            if e
+        )
+        report = chunk_directory(args.input_dir, args.output_dir, cfg,
+                                 mode=args.mode, extensions=exts,
+                                 skip_existing=args.skip_existing,
+                                 dry_run=args.dry_run)
+        print(json.dumps({"processed": len(report["processed"]),
+                          "skipped": len(report["skipped"]),
+                          "outputs": len(report["outputs"]),
+                          "dry_run": args.dry_run}, indent=2))
+        return
+    if not args.input:
+        raise SystemExit("chunk-wsi requires --input or --input-dir")
+    if args.mode == "adaptive":
+        written = chunk_wsi_adaptive(args.input, args.output_dir, cfg,
+                                     dry_run=args.dry_run)
+    else:
+        written = chunk_wsi_grid(args.input, args.output_dir, cfg)
+    print(f"{'planned' if args.dry_run else 'wrote'} {len(written)} chunks "
+          f"to {args.output_dir}")
 
 
 def cmd_preprocess_ecm(args):
     from adipose_tpu.core.config import ECMPreprocessConfig
     from adipose_tpu.wsi.ecm import process_directory
 
-    cfg = ECMPreprocessConfig(deband_method=args.deband,
-                              illumination_method=args.illumination,
-                              apply_clahe=args.clahe, sharpen=args.sharpen)
-    log = process_directory(args.input_dir, args.output_dir, cfg)
+    cfg = ECMPreprocessConfig(
+        deband_method=args.deband,
+        fft_freq_low=args.fft_freq_low, fft_freq_high=args.fft_freq_high,
+        fft_width=args.fft_width, fft_sigma_scale=args.fft_sigma_scale,
+        fft_blend=args.fft_blend,
+        morph_width=args.morph_width, morph_height=args.morph_height,
+        column_preserve_global=args.column_preserve_global,
+        normalization_method=args.normalization_method,
+        percentile_low=args.percentile_low, percentile_high=args.percentile_high,
+        illumination_method=args.illumination.replace("-", "_"),
+        rolling_ball_radius=args.rolling_ball_radius,
+        poly_sigma=args.poly_sigma, tophat_kernel=args.tophat_kernel,
+        clahe_illum_tile=args.clahe_illum_tile,
+        clahe_illum_clip=args.clahe_illum_clip,
+        apply_clahe=args.clahe, clahe_clip=args.clahe_clip_limit,
+        clahe_grid=args.clahe_tile_size,
+        sharpen=args.sharpen, sharpen_sigma=args.sharpen_sigma,
+        sharpen_amount=args.sharpen_amount,
+    )
+    log = process_directory(args.input_dir, args.output_dir, cfg,
+                            visualize=args.visualize,
+                            max_visualizations=args.max_visualizations,
+                            test_mode=args.test_mode,
+                            test_samples=args.test_samples)
     print(f"processed {len(log['processed'])}, errors {len(log['errors'])}")
 
 
@@ -1396,6 +1613,10 @@ def cmd_scale_ecm(args):
         ref = cv2.imread(str(refs[p.stem]), cv2.IMREAD_UNCHANGED)
         if img is None or ref is None:
             continue
+        if args.dry_run:
+            print(f"would resample {p.name}: {img.shape[:2]} -> {ref.shape[:2]}")
+            n += 1
+            continue
         out = resample_image(img, ref.shape[:2], args.interpolation)
         cv2.imwrite(str(out_dir / p.name), out)
         n += 1
@@ -1406,7 +1627,8 @@ def cmd_compare_modalities(args):
     from adipose_tpu.wsi.compare import compare_directories
 
     rows = compare_directories(args.pseudo_dir, args.ecm_dir, args.output_dir,
-                               args.n_samples)
+                               args.n_samples, n_perfect=args.n_perfect,
+                               n_mismatch=args.n_mismatch, seed=args.seed)
     print(f"compared {len(rows)} pairs → {args.output_dir}/comparison_metrics.csv")
 
 
@@ -1417,9 +1639,13 @@ def cmd_tif2jpg(args):
     out_dir.mkdir(parents=True, exist_ok=True)
     n = 0
     for p in sorted(in_dir.glob("*.tif")) + sorted(in_dir.glob("*.tiff")):
-        if convert_tif_to_jpg(p, out_dir / f"{p.stem}.jpg", args.quality):
+        if args.dry_run:
+            print(f"would convert {p.name}")
             n += 1
-    print(f"converted {n} images")
+        elif convert_tif_to_jpg(p, out_dir / f"{p.stem}.jpg", args.quality,
+                                invert=args.invert):
+            n += 1
+    print(f"{'would convert' if args.dry_run else 'converted'} {n} images")
 
 
 def cmd_analyze_tiles(args):

@@ -179,6 +179,7 @@ class DataBuildConfig(_JsonMixin):
     # Classification-dataset extras (build_class_dataset.py)
     adipose_coverage_threshold: float = 0.025  # >=2.5% mask coverage => adipose (:683-690)
     channel: str = "pseudocolored"  # 'ecm' | 'pseudocolored' (:183-204)
+    balance_classes: bool = True  # --balance-classes/--no-balance (:151-154)
     # Mask building (DEFAULTS :159-198)
     make_masks: bool = True
     make_overlays: bool = False
@@ -209,6 +210,10 @@ class DataBuildConfig(_JsonMixin):
     test_include_white: bool = False
     test_include_blurry: bool = False
     include_ambiguous: bool = False  # test-only: ambiguous kept as zero-mask negatives
+    # Classification-build QC semantics (build_class_dataset.py:692-702):
+    # quality filters apply only to NEGATIVES (positives always kept) and
+    # kept white/blurry tiles stay IN the dataset instead of QA-routing
+    protect_positives: bool = False
 
 
 @dataclass
@@ -226,6 +231,12 @@ class WSIChunkConfig(_JsonMixin):
     convert_16to8: bool = True
     invert: bool = False
     enhancement: str = "none"  # none|zscore|percentile|clahe
+    # Directory-driver knobs (..._MS.py:642-671)
+    max_dimension_px: int = 13112
+    min_dimension_px: int = 13112
+    output_format: str = "auto"  # auto|jpg|png|tiff
+    bit_depth: str = "auto"  # auto|8|16
+    save_enhanced: bool = False  # also write enhanced/ variants
 
 
 @dataclass
@@ -233,13 +244,33 @@ class ECMPreprocessConfig(_JsonMixin):
     """ECM fluorescence-channel cleanup
     (``pre-post-processing_tools/preprocess_small_MS_SIMs.py``)."""
 
-    deband_method: str = "fft"  # fft|morphological|column_norm|none
-    fft_center_freq: float = 0.15
-    fft_sigma: float = 3.0
-    fft_blend: float = 0.8
+    # stage 1: banding removal (defaults mirror the reference argparse,
+    # preprocess_small_MS_SIMs.py:853-878)
+    deband_method: str = "none"  # fft|morphological|column_norm|none
+    fft_freq_low: float = 0.01
+    fft_freq_high: float = 0.05
+    fft_width: int = 3
+    fft_sigma_scale: float = 0.5
+    fft_blend: float = 1.0
+    morph_width: int = 1
+    morph_height: int = 512
+    column_preserve_global: bool = True
+    # stage 2: normalization (:881-889)
+    normalization_method: str = "none"  # percentile|zscore|none
+    percentile_low: float = 1.0
+    percentile_high: float = 99.0
+    # stage 3: illumination correction (:892-914)
     illumination_method: str = "none"  # rolling_ball|gaussian|tophat|clahe|none
+    rolling_ball_radius: int = 100
+    poly_sigma: float = 150.0
+    tophat_kernel: int = 301
+    clahe_illum_tile: int = 16
+    clahe_illum_clip: float = 2.0
+    # stage 4: contrast CLAHE (:917-923)
     apply_clahe: bool = False
-    clahe_clip: float = 2.0
-    clahe_grid: int = 8
+    clahe_clip: float = 3.0
+    clahe_grid: int = 16
+    # stage 5: unsharp sharpening (:926-932)
     sharpen: bool = False
+    sharpen_sigma: float = 1.0
     sharpen_amount: float = 0.5

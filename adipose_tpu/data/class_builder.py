@@ -63,15 +63,22 @@ class ClassificationDatasetBuilder:
         cfg = self.cfg
         # the seg builder is used as a tiling helper only — suppress its mask/
         # QA artifact writes (they'd land in _tmp/)
-        # ambiguous_high=0: classification labels purely by coverage threshold
-        # (build_class_dataset.py:683-690) — no ambiguity gate
+        # class-build gating (build_class_dataset.py:683-702): train excludes
+        # ambiguous (0 < cov < threshold); test keeps them as negatives only
+        # under --include-ambiguous; QC filters only negatives
         seg = SegmentationDatasetBuilder(
-            dataclasses.replace(cfg, make_masks=False, make_overlays=False,
-                                keep_white=False, keep_blurry=False,
-                                ambiguous_high=0.0),
+            dataclasses.replace(
+                cfg, make_masks=False, make_overlays=False,
+                protect_positives=True,
+                ambiguous_high=cfg.adipose_coverage_threshold,
+                test_min_mask_ratio=cfg.adipose_coverage_threshold,
+            ),
             build_root=self.build_root / "_tmp",
         )
-        slides = discover_slides(data_root, cfg.min_confidence_train)
+        slides = discover_slides(
+            data_root, cfg.min_confidence_train,
+            exclude_test_duplicates=cfg.exclude_test_duplicates,
+        )
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
 
@@ -101,7 +108,7 @@ class ClassificationDatasetBuilder:
                 d = self.build_root / "dataset" / split / cls
                 d.mkdir(parents=True, exist_ok=True)
                 cv2.imwrite(str(d / f"{t['name']}.jpg"), t["image"],
-                            [cv2.IMWRITE_JPEG_QUALITY, 95])
+                            [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality])
                 rows.append({"file": f"{cls}/{t['name']}.jpg", "label": t["label"],
                              "pos_ratio": t["pos_ratio"], "base": t["base"]})
             manifests[split] = rows
@@ -126,6 +133,9 @@ class ClassificationDatasetBuilder:
         pos = [t for t in tiles if t["label"] == 1]
         neg = [t for t in tiles if t["label"] == 0]
         self.stats.adipose = len(pos)
+        if not cfg.balance_classes:
+            self.stats.not_adipose = len(neg)
+            return pos + neg
         target_pos_frac = cfg.negative_fraction  # 0.40 adipose share
         if pos:
             max_neg = int(round(len(pos) * (1 - target_pos_frac) / target_pos_frac))

@@ -312,6 +312,19 @@ class SegmentationDatasetBuilder:
             name = f"{slide.base}_r{ri}_c{ci}"
             cls = ("empty" if bool(v["is_empty"])
                    else "blurry" if bool(v["is_blurry"]) else "tissue")
+            if cfg.protect_positives and cls != "tissue":
+                # class-build semantics: QC filters only negatives; kept
+                # white/blurry tiles remain dataset-eligible (:692-702)
+                pos_here = float(
+                    mask[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size].mean())
+                keep_flag = cfg.keep_white if cls == "empty" else cfg.keep_blurry
+                if not keep_flag and pos_here == 0:
+                    if cls == "empty":
+                        self.stats.tiles_skipped_empty += 1
+                    else:
+                        self.stats.tiles_skipped_blurry += 1
+                    continue
+                cls = "tissue"
             if cls == "empty" and not cfg.keep_white:
                 self.stats.tiles_skipped_empty += 1
                 continue

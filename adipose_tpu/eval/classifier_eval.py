@@ -176,8 +176,12 @@ def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray,
 
 
 def dump_examples(files, labels, probs, threshold: float, output_dir: Path,
-                  max_per_category: int = 20):
-    """TP/FP/FN/TN example-image dumps (:582)."""
+                  max_per_category: int = 20, percentile_norm: bool = False):
+    """TP/FP/FN/TN example-image dumps (:582). ``percentile_norm`` renders
+    the 1-99 percentile-normalized view instead of copying the raw tile
+    (``--percentile-norm-examples``, eval_adipose_classifier.py:151)."""
+    import cv2
+
     output_dir = Path(output_dir)
     preds = (probs >= threshold).astype(int)
     counts = {"TP": 0, "FP": 0, "FN": 0, "TN": 0}
@@ -187,7 +191,15 @@ def dump_examples(files, labels, probs, threshold: float, output_dir: Path,
             continue
         d = output_dir / "examples" / cat
         d.mkdir(parents=True, exist_ok=True)
-        shutil.copy2(f, d / Path(f).name)
+        if percentile_norm:
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            lo, hi = np.percentile(img, 1.0), np.percentile(img, 99.0)
+            normed = np.clip((img - lo) / max(hi - lo, 1e-3), 0, 1) * 255
+            cv2.imwrite(str(d / Path(f).name), normed.astype(np.uint8))
+        else:
+            shutil.copy2(f, d / Path(f).name)
         counts[cat] += 1
     return counts
 
@@ -241,6 +253,7 @@ def run_classifier_evaluation(
     slide_aggregate: bool = True,
     slide_map: dict | None = None,
     plots: bool = True,
+    percentile_norm_examples: bool = False,
     seed: int = 865,
 ) -> dict:
     """Full evaluation driver. ``variables_list``: one or more model snapshots
@@ -315,6 +328,7 @@ def run_classifier_evaluation(
         results["example_counts"] = dump_examples(
             files_eval, labels_eval, probs_eval, results["best_threshold"],
             output_dir, max_per_category=num_examples,
+            percentile_norm=percentile_norm_examples,
         )
     import pandas as pd
 

@@ -82,13 +82,33 @@ def enhance(img: np.ndarray, method: str = "none") -> np.ndarray:
     return np.asarray(out).astype(np.uint8)
 
 
+def convert_bit_depth(img: np.ndarray, mode: str = "auto") -> np.ndarray:
+    """``--bit-depth`` auto|8|16 (``..._MS.py:658-660``): auto/8 min-max to
+    u8; 16 keeps the source depth."""
+    if mode == "16":
+        return img
+    return convert_16_to_8bit(img)
+
+
+def _chunk_ext(cfg: WSIChunkConfig) -> tuple:
+    """(extension, imwrite params) from ``--output-format``."""
+    fmt = cfg.output_format.lower()
+    if fmt in ("png",):
+        return ".png", []
+    if fmt in ("tif", "tiff"):
+        return ".tif", []
+    return ".jpg", [cv2.IMWRITE_JPEG_QUALITY, 95]
+
+
 def chunk_wsi_adaptive(
     image_path: str | Path,
     output_dir: str | Path,
     cfg: WSIChunkConfig | None = None,
+    dry_run: bool = False,
 ) -> list:
     """MS adaptive chunker. Returns written chunk paths; names carry
-    ``_x{X}_y{Y}_w{W}_h{H}``."""
+    ``_x{X}_y{Y}_w{W}_h{H}``. ``dry_run`` returns the planned paths without
+    reading pixels beyond the header or writing (``..._MS.py:565-567``)."""
     cfg = cfg or WSIChunkConfig()
     image_path, output_dir = Path(image_path), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -96,21 +116,85 @@ def chunk_wsi_adaptive(
     if img is None:
         raise ValueError(f"cannot read {image_path}")
     if cfg.convert_16to8:
-        img = convert_16_to_8bit(img)
+        img = convert_bit_depth(img, cfg.bit_depth)
     if cfg.invert:
-        img = 255 - img
+        img = (np.iinfo(img.dtype).max if np.issubdtype(img.dtype, np.integer)
+               else 255) - img
     h, w = img.shape[:2]
+    ext, params = _chunk_ext(cfg)
     written = []
+    enhanced_dir = output_dir / "enhanced"
     for y, th in generate_axis_segments(h, cfg.primary_tile, cfg.edge_multiple):
         for x, tw in generate_axis_segments(w, cfg.primary_tile, cfg.edge_multiple):
+            name = f"{image_path.stem}_x{x}_y{y}_w{tw}_h{th}{ext}"
+            out = output_dir / name
+            if dry_run:
+                written.append(out)
+                continue
             chunk = img[y : y + th, x : x + tw]
             if chunk.ndim == 2 and cfg.enhancement != "none":
                 chunk = enhance(chunk, cfg.enhancement)
-            name = f"{image_path.stem}_x{x}_y{y}_w{tw}_h{th}.jpg"
-            out = output_dir / name
-            cv2.imwrite(str(out), chunk, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            cv2.imwrite(str(out), chunk, params)
+            if cfg.save_enhanced and chunk.ndim == 2:
+                enhanced_dir.mkdir(parents=True, exist_ok=True)
+                ev = enhance(img[y : y + th, x : x + tw], cfg.enhancement
+                             if cfg.enhancement != "none" else "clahe")
+                cv2.imwrite(str(enhanced_dir / name), ev, params)
             written.append(out)
     return written
+
+
+def chunk_directory(
+    input_dir: str | Path,
+    output_dir: str | Path,
+    cfg: WSIChunkConfig | None = None,
+    mode: str = "adaptive",
+    extensions: tuple = (".tif", ".tiff", ".png", ".jpg", ".jpeg"),
+    skip_existing: bool = False,
+    dry_run: bool = False,
+) -> dict:
+    """Directory driver (``..._MS.py:686-828``): every matching image is
+    chunked; small images (both dims < ``min_dimension_px`` AND file size ≤
+    ``max_chunk_mb``) pass through as one converted image. ``skip_existing``
+    skips inputs whose first chunk already exists."""
+    cfg = cfg or WSIChunkConfig()
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    ext, params = _chunk_ext(cfg)
+    report: dict = {"processed": [], "skipped": [], "outputs": []}
+    for p in sorted(input_dir.iterdir()):
+        if not p.is_file() or p.suffix.lower() not in extensions:
+            continue
+        probe = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+        if probe is None:
+            report["skipped"].append({"file": p.name, "reason": "unreadable"})
+            continue
+        h, w = probe.shape[:2]
+        size_mb = p.stat().st_size / 2**20
+        if max(h, w) < cfg.min_dimension_px and size_mb <= cfg.max_chunk_mb:
+            out = output_dir / f"{p.stem}{ext}"
+            if not dry_run:
+                img = convert_bit_depth(probe, cfg.bit_depth) \
+                    if cfg.convert_16to8 else probe
+                if cfg.invert:
+                    img = 255 - img
+                cv2.imwrite(str(out), img, params)
+            report["processed"].append({"file": p.name, "mode": "passthrough"})
+            report["outputs"].append(str(out))
+            continue
+        first = output_dir / f"{p.stem}_x0_y0_w{min(cfg.primary_tile, w)}_h{min(cfg.primary_tile, h)}{ext}"
+        if skip_existing and first.exists():
+            report["skipped"].append({"file": p.name, "reason": "exists"})
+            continue
+        fn = chunk_wsi_adaptive if mode == "adaptive" else chunk_wsi_grid
+        if fn is chunk_wsi_adaptive:
+            outs = fn(p, output_dir, cfg, dry_run=dry_run)
+        else:
+            outs = [] if dry_run else fn(p, output_dir, cfg)
+        report["processed"].append({"file": p.name, "mode": mode,
+                                    "n_chunks": len(outs)})
+        report["outputs"].extend(str(o) for o in outs)
+    return report
 
 
 def chunk_wsi_grid(

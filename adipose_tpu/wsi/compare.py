@@ -109,9 +109,14 @@ def stratified_sample(paths, n: int, seed: int = 865):
 
 def compare_directories(
     pseudo_dir: str | Path, ecm_dir: str | Path, output_dir: str | Path,
-    n_samples: int = 50,
+    n_samples: int = 50, n_perfect: int | None = None,
+    n_mismatch: int | None = None, seed: int | None = None,
 ) -> list:
-    """Paired-by-stem comparison with metrics CSV + diff heatmaps."""
+    """Paired-by-stem comparison with metrics CSV + diff heatmaps.
+
+    ``n_perfect``/``n_mismatch`` sample separately from same-dimension pairs
+    and dimension-mismatched pairs (``compare_pseudocolored_ecm_tiles.py:
+    321-332``); without them, one stratified sample of ``n_samples``."""
     import pandas as pd
 
     pseudo_dir, ecm_dir = Path(pseudo_dir), Path(ecm_dir)
@@ -123,7 +128,24 @@ def compare_directories(
         for p in pseudo_dir.glob("*")
         if p.is_file() and p.stem in ecm_by_stem
     ]
-    pairs = stratified_sample(pairs, n_samples)
+    if n_perfect is not None or n_mismatch is not None:
+        rng = np.random.RandomState(865 if seed is None else seed)
+        perfect, mismatch = [], []
+        for pp, ep in pairs:
+            a, b = cv2.imread(str(pp)), cv2.imread(str(ep))
+            if a is None or b is None:
+                continue
+            (perfect if a.shape[:2] == b.shape[:2] else mismatch).append((pp, ep))
+
+        def pick(group, n):
+            if n is None or len(group) <= n:
+                return group
+            idx = rng.choice(len(group), n, replace=False)
+            return [group[i] for i in idx]
+
+        pairs = pick(perfect, n_perfect) + pick(mismatch, n_mismatch)
+    else:
+        pairs = stratified_sample(pairs, n_samples)
     rows = []
     for pp, ep in pairs:
         a = cv2.imread(str(pp), cv2.IMREAD_GRAYSCALE)
@@ -145,10 +167,12 @@ def compare_directories(
 
 
 def convert_tif_to_jpg(
-    input_path: str | Path, output_path: str | Path, quality: int = 95
+    input_path: str | Path, output_path: str | Path, quality: int = 95,
+    invert: bool = False,
 ) -> bool:
     """16-bit→8-bit min-max + grayscale→RGB JPEG
-    (``convert_tif_to_jpg.py:118``)."""
+    (``convert_tif_to_jpg.py:118``); ``--invert`` flips intensities after the
+    bit-depth conversion (:148)."""
     img = cv2.imread(str(input_path), cv2.IMREAD_UNCHANGED)
     if img is None:
         return False
@@ -159,6 +183,8 @@ def convert_tif_to_jpg(
             if hi == lo
             else ((img.astype(np.float32) - lo) / (hi - lo) * 255).astype(np.uint8)
         )
+    if invert:
+        img = 255 - img
     if img.ndim == 2:
         img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
     return bool(cv2.imwrite(str(output_path), img, [cv2.IMWRITE_JPEG_QUALITY, quality]))
