@@ -1028,6 +1028,7 @@ def cmd_eval_classifier(args):
         save_examples=args.save_examples, num_examples=args.num_examples,
         slide_map=slide_map, plots=args.save_plots,
         percentile_norm_examples=args.percentile_norm_examples,
+        example_p_low=args.percentile_low, example_p_high=args.percentile_high,
     )
     print(json.dumps({k: results[k] for k in ("roc_auc", "pr_auc", "best_threshold")},
                      indent=2))
@@ -1198,10 +1199,16 @@ def cmd_classify(args):
         p for p in in_dir.glob(args.pattern)
         if p.is_file() and p.suffix.lower() in exts
     )
-    if not files:  # pattern may be extension-specific; retry over all exts
+    if not files and args.pattern == "**/*.jpg":
+        # only the DEFAULT pattern widens to all image types; an explicit
+        # user pattern that matches nothing must not silently classify
+        # everything under the tree
         files = sorted(
             p for p in in_dir.rglob("*") if p.is_file() and p.suffix.lower() in exts
         )
+    if not files:
+        raise SystemExit(
+            f"no images match pattern {args.pattern!r} under {in_dir}")
 
     def read(p):
         if args.use_grayscale:
@@ -1405,12 +1412,21 @@ def cmd_classification_overlay(args):
         print(f"wrote {out_path}")
 
     if args.wsi_dir:
+        import re
+
         out_dir = Path(args.output_dir or args.output or ".")
         exts = (".tif", ".tiff", ".png", ".jpg", ".jpeg")
         for wsi_path in sorted(Path(args.wsi_dir).iterdir()):
             if wsi_path.suffix.lower() not in exts or not wsi_path.is_file():
                 continue
-            subset = [r for r in results if r[0].startswith(wsi_path.stem)]
+            # exact slide match: stem followed by only coordinate suffixes —
+            # a bare prefix test misassigns 'S1_10' tiles to slide 'S1_1'
+            pat = re.compile(
+                rf"^{re.escape(wsi_path.stem)}"
+                rf"(_x\d+_y\d+(_w\d+_h\d+)?)?(_grid_\d+x\d+_tile_\d+)?"
+                rf"_r\d+_c\d+$"
+            )
+            subset = [r for r in results if pat.match(Path(r[0]).stem)]
             if not subset:
                 continue
             render(wsi_path, out_dir / f"{wsi_path.stem}_overlay.png", subset)
@@ -1560,7 +1576,8 @@ def cmd_chunk_wsi(args):
         written = chunk_wsi_adaptive(args.input, args.output_dir, cfg,
                                      dry_run=args.dry_run)
     else:
-        written = chunk_wsi_grid(args.input, args.output_dir, cfg)
+        written = chunk_wsi_grid(args.input, args.output_dir, cfg,
+                                 dry_run=args.dry_run)
     print(f"{'planned' if args.dry_run else 'wrote'} {len(written)} chunks "
           f"to {args.output_dir}")
 

@@ -72,6 +72,8 @@ class ClassificationDatasetBuilder:
                 protect_positives=True,
                 ambiguous_high=cfg.adipose_coverage_threshold,
                 test_min_mask_ratio=cfg.adipose_coverage_threshold,
+                test_min_confidence=cfg.min_confidence_eval,
+                test_stride=cfg.stride,
             ),
             build_root=self.build_root / "_tmp",
         )
@@ -82,24 +84,44 @@ class ClassificationDatasetBuilder:
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
 
-        labeled = []
+        # slide-level splits are assigned BEFORE tiling (the reference order,
+        # build_class_dataset.py:573-647) so eval-split semantics — confidence
+        # ≥ min_confidence_val and --include-ambiguous keep-as-negative —
+        # apply to the internal val/test splits, not only external test/
+        rng = np.random.default_rng(cfg.seed)
+        seen: set = set()
+        bases = [s.base for s in slides
+                 if not s.is_test and not (s.base in seen or seen.add(s.base))]
+        rng.shuffle(bases)
+        n_test = (max(1, int(len(bases) * cfg.test_fraction))
+                  if cfg.test_fraction > 0 and bases else 0)
+        n_test = min(n_test, len(bases))
+        test_bases = set(bases[:n_test])
+        rest = bases[n_test:]
+        n_val = (max(1, int(len(rest) * cfg.val_fraction))
+                 if cfg.val_fraction > 0 and rest else 0)
+        n_val = min(n_val, len(rest))
+        val_bases = set(rest[:n_val])
+
+        by_split: dict = {"train": [], "val": [], "test": []}
         for slide in slides:
-            mask = seg.build_slide_mask(slide)
+            split = ("test" if slide.is_test
+                     else "test" if slide.base in test_bases
+                     else "val" if slide.base in val_bases else "train")
+            # val/test slides tile with the eval-split gates (is_test=True)
+            s_eff = (dataclasses.replace(slide, is_test=True)
+                     if split != "train" else slide)
+            mask = seg.build_slide_mask(s_eff)
             if mask is None:
                 continue
-            tiles = seg.tile_slide(slide, mask)
-            for t in tiles:
+            for t in seg.tile_slide(s_eff, mask):
                 t["label"] = int(t["pos_ratio"] >= cfg.adipose_coverage_threshold)
-                labeled.append(t)
-        self.stats.tiles_total = len(labeled)
+                by_split[split].append(t)
+        self.stats.tiles_total = sum(len(v) for v in by_split.values())
 
-        # quality filters already applied inside tile_slide for ALL tiles; the
-        # reference keeps positives regardless — re-admit QC-dropped positives
-        # is not possible here (they were filtered pre-label), acceptable since
-        # positives with tissue rarely fail white/blur gates; documented.
-
-        balanced = self._balance(labeled)
-        splits = seg.split_tiles(balanced)
+        # quality filters only drop negatives (protect_positives inside
+        # tile_slide); balancing runs PER SPLIT (reference :925-945)
+        splits = {k: self._balance(v) for k, v in by_split.items()}
         manifests = {}
         for split, tiles in splits.items():
             rows = []
@@ -127,23 +149,23 @@ class ClassificationDatasetBuilder:
 
     def _balance(self, tiles: list) -> list:
         """Undersample negatives until adipose ≈ target fraction (default 40 %)
-        (``build_class_dataset.py:721-784``)."""
+        (``build_class_dataset.py:721-784``). Called once per split (:925-945);
+        stats accumulate across calls."""
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         pos = [t for t in tiles if t["label"] == 1]
         neg = [t for t in tiles if t["label"] == 0]
-        self.stats.adipose = len(pos)
-        if not cfg.balance_classes:
-            self.stats.not_adipose = len(neg)
+        self.stats.adipose += len(pos)
+        if not cfg.balance_classes or not pos:
+            self.stats.not_adipose += len(neg)
             return pos + neg
         target_pos_frac = cfg.negative_fraction  # 0.40 adipose share
-        if pos:
-            max_neg = int(round(len(pos) * (1 - target_pos_frac) / target_pos_frac))
-            if len(neg) > max_neg:
-                idx = rng.choice(len(neg), size=max_neg, replace=False)
-                self.stats.negatives_dropped_balance = len(neg) - max_neg
-                neg = [neg[i] for i in idx]
-        self.stats.not_adipose = len(neg)
+        max_neg = int(round(len(pos) * (1 - target_pos_frac) / target_pos_frac))
+        if len(neg) > max_neg:
+            idx = rng.choice(len(neg), size=max_neg, replace=False)
+            self.stats.negatives_dropped_balance += len(neg) - max_neg
+            neg = [neg[i] for i in idx]
+        self.stats.not_adipose += len(neg)
         return pos + neg
 
     def _write_reports(self, data_root):

@@ -492,14 +492,19 @@ class SegmentationDatasetBuilder:
         from concurrent.futures import ThreadPoolExecutor
 
         n_workers = cfg.workers or max(1, (os.cpu_count() or 2) - 1)
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            masks = list(pool.map(self.build_slide_mask, slides))
-        self.stats.masks_built = sum(m is not None for m in masks)
         all_tiles = []
-        for slide, mask in zip(slides, masks):
-            if mask is None:
-                continue
-            all_tiles.extend(self.tile_slide(slide, mask))
+        # window by worker count: full-resolution slide masks are ~100s of MB
+        # each, so rasterize at most n_workers concurrently and tile them
+        # before the next window (no whole-dataset mask barrier)
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for i in range(0, len(slides), n_workers):
+                window = slides[i : i + n_workers]
+                for slide, mask in zip(window,
+                                       pool.map(self.build_slide_mask, window)):
+                    if mask is None:
+                        continue
+                    self.stats.masks_built += 1
+                    all_tiles.extend(self.tile_slide(slide, mask))
         kept = self.sample_negatives(all_tiles)
         splits = self.split_tiles(kept)
         tiff_params = self._tiff_params()

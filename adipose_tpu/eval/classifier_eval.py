@@ -176,7 +176,8 @@ def aggregate_by_slide(files, labels: np.ndarray, probs: np.ndarray,
 
 
 def dump_examples(files, labels, probs, threshold: float, output_dir: Path,
-                  max_per_category: int = 20, percentile_norm: bool = False):
+                  max_per_category: int = 20, percentile_norm: bool = False,
+                  p_low: float = 1.0, p_high: float = 99.0):
     """TP/FP/FN/TN example-image dumps (:582). ``percentile_norm`` renders
     the 1-99 percentile-normalized view instead of copying the raw tile
     (``--percentile-norm-examples``, eval_adipose_classifier.py:151)."""
@@ -195,7 +196,7 @@ def dump_examples(files, labels, probs, threshold: float, output_dir: Path,
             img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
             if img is None:
                 continue
-            lo, hi = np.percentile(img, 1.0), np.percentile(img, 99.0)
+            lo, hi = np.percentile(img, p_low), np.percentile(img, p_high)
             normed = np.clip((img - lo) / max(hi - lo, 1e-3), 0, 1) * 255
             cv2.imwrite(str(d / Path(f).name), normed.astype(np.uint8))
         else:
@@ -254,6 +255,8 @@ def run_classifier_evaluation(
     slide_map: dict | None = None,
     plots: bool = True,
     percentile_norm_examples: bool = False,
+    example_p_low: float = 1.0,
+    example_p_high: float = 99.0,
     seed: int = 865,
 ) -> dict:
     """Full evaluation driver. ``variables_list``: one or more model snapshots
@@ -329,6 +332,7 @@ def run_classifier_evaluation(
             files_eval, labels_eval, probs_eval, results["best_threshold"],
             output_dir, max_per_category=num_examples,
             percentile_norm=percentile_norm_examples,
+            p_low=example_p_low, p_high=example_p_high,
         )
     import pandas as pd
 

@@ -153,44 +153,41 @@ def chunk_directory(
     skip_existing: bool = False,
     dry_run: bool = False,
 ) -> dict:
-    """Directory driver (``..._MS.py:686-828``): every matching image is
-    chunked; small images (both dims < ``min_dimension_px`` AND file size ≤
-    ``max_chunk_mb``) pass through as one converted image. ``skip_existing``
-    skips inputs whose first chunk already exists."""
+    """Directory driver (``..._MS.py:686-828``): images whose dimensions
+    exceed ``max_dimension_px`` or whose file size exceeds ``max_chunk_mb``
+    are chunked; smaller ones are reported as skipped — the reference gate
+    (:754); its ``--min-dimension-px`` is declared but dead and kept here
+    only for flag parity. ``skip_existing`` skips inputs that already have
+    chunks in the output dir. Dimensions come from the image header (PIL),
+    not a full decode."""
     cfg = cfg or WSIChunkConfig()
     input_dir, output_dir = Path(input_dir), Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    ext, params = _chunk_ext(cfg)
     report: dict = {"processed": [], "skipped": [], "outputs": []}
     for p in sorted(input_dir.iterdir()):
         if not p.is_file() or p.suffix.lower() not in extensions:
             continue
-        probe = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
-        if probe is None:
+        try:
+            from PIL import Image
+
+            with Image.open(p) as im:  # header-only, no pixel decode
+                w, h = im.size
+        except Exception:
             report["skipped"].append({"file": p.name, "reason": "unreadable"})
             continue
-        h, w = probe.shape[:2]
         size_mb = p.stat().st_size / 2**20
-        if max(h, w) < cfg.min_dimension_px and size_mb <= cfg.max_chunk_mb:
-            out = output_dir / f"{p.stem}{ext}"
-            if not dry_run:
-                img = convert_bit_depth(probe, cfg.bit_depth) \
-                    if cfg.convert_16to8 else probe
-                if cfg.invert:
-                    img = 255 - img
-                cv2.imwrite(str(out), img, params)
-            report["processed"].append({"file": p.name, "mode": "passthrough"})
-            report["outputs"].append(str(out))
+        if w <= cfg.max_dimension_px and h <= cfg.max_dimension_px \
+                and size_mb <= cfg.max_chunk_mb:
+            report["skipped"].append({"file": p.name, "reason": "small"})
             continue
-        first = output_dir / f"{p.stem}_x0_y0_w{min(cfg.primary_tile, w)}_h{min(cfg.primary_tile, h)}{ext}"
-        if skip_existing and first.exists():
+        marker = "_grid_" if mode == "grid" else "_x"
+        if skip_existing and any(output_dir.glob(f"{p.stem}{marker}*")):
             report["skipped"].append({"file": p.name, "reason": "exists"})
             continue
-        fn = chunk_wsi_adaptive if mode == "adaptive" else chunk_wsi_grid
-        if fn is chunk_wsi_adaptive:
-            outs = fn(p, output_dir, cfg, dry_run=dry_run)
+        if mode == "adaptive":
+            outs = chunk_wsi_adaptive(p, output_dir, cfg, dry_run=dry_run)
         else:
-            outs = [] if dry_run else fn(p, output_dir, cfg)
+            outs = chunk_wsi_grid(p, output_dir, cfg, dry_run=dry_run)
         report["processed"].append({"file": p.name, "mode": mode,
                                     "n_chunks": len(outs)})
         report["outputs"].extend(str(o) for o in outs)
@@ -203,6 +200,7 @@ def chunk_wsi_grid(
     cfg: WSIChunkConfig | None = None,
     preferred_grids: tuple = (5, 4, 3, 2),
     max_file_size_mb: float = 50.0,
+    dry_run: bool = False,
 ) -> list:
     """Lucy fixed-grid chunker: overlapping 2048/204 tiles grouped into the
     largest feasible N×N piece (``..._Lucy.py:283-398``). Names:
@@ -245,9 +243,11 @@ def chunk_wsi_grid(
             d = piece_dim(min(grid, total_rows - r0, total_cols - c0))
             y = min(y, max(0, h - d))
             x = min(x, max(0, w - d))
-            piece = img[y : y + d, x : x + d]
             name = f"{image_path.stem}_grid_{grid}x{grid}_tile_{k}.jpg"
-            cv2.imwrite(str(output_dir / name), piece, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            if not dry_run:
+                piece = img[y : y + d, x : x + d]
+                cv2.imwrite(str(output_dir / name), piece,
+                            [cv2.IMWRITE_JPEG_QUALITY, 95])
             written.append(output_dir / name)
             k += 1
     return written
