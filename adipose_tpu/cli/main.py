@@ -232,6 +232,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--percentile-low", type=float, default=1.0)
     t.add_argument("--percentile-high", type=float, default=99.0)
     t.add_argument("--resume-from", default=None)
+    t.add_argument("--auto-resume", action="store_true",
+                   help="resume mid-phase from the run dir's latest epoch "
+                        "state (TPU-preemption recovery; pair with "
+                        "--run-timestamp so the restarted process finds the "
+                        "same dir)")
+    t.add_argument("--run-timestamp", default=None,
+                   help="pin the checkpoint dir timestamp (default: now)")
     t.add_argument("--checkpoint-name", default="adipose_sybreosin")
     t.add_argument("--checkpoint-suffix", default="",
                    help="appended to the run directory name (:1524)")
@@ -851,7 +858,9 @@ def cmd_train_unet(args):
     mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
     trainer = UNetTrainer(data_root, cfg, mcfg,
                           checkpoint_name=args.checkpoint_name + args.checkpoint_suffix,
-                          checkpoint_root=args.checkpoint_root)
+                          checkpoint_root=args.checkpoint_root,
+                          build_timestamp=args.run_timestamp,
+                          auto_resume=args.auto_resume)
     result = trainer.train(resume_from=args.resume_from,
                            pretrained_weights=args.pretrained_weights)
     print(json.dumps(result, indent=2))
