@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from adipose_tpu.core.jitopts import infer_jit
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -61,7 +63,7 @@ def _fused_zscore_kernel(mean_ref, std_ref, in_ref, white_thresh_ref,
     out_ref[:] = (x - mean_ref[0]) / (std_ref[0] + 1e-10)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(infer_jit, static_argnames=("interpret",))
 def fused_zscore_normalize(
     tiles: jax.Array,
     mean: jax.Array,
@@ -168,7 +170,7 @@ def _percentile_kernel(rank_lo_ref, frac_lo_ref, rank_hi_ref, frac_hi_ref,
     out_ref[:] = jnp.clip((xf - low) / scale, 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("p_low", "p_high", "interpret"))
+@functools.partial(infer_jit, static_argnames=("p_low", "p_high", "interpret"))
 def percentile_normalize_u8(
     tiles: jax.Array,
     p_low: float = 1.0,
