@@ -2,6 +2,7 @@
 overlays, modality comparison, dual-model pipeline."""
 
 import json
+from pathlib import Path
 
 import cv2
 import jax.numpy as jnp
@@ -60,6 +61,35 @@ class TestChunker:
         out = chunk_wsi_grid(src, tmp_path / "grid", cfg)
         assert out
         assert all("_grid_" in p.stem and "_tile_" in p.stem for p in out)
+        # dry_run plans the same names without writing
+        planned = chunk_wsi_grid(src, tmp_path / "grid_dry", cfg, dry_run=True)
+        assert [p.name for p in planned] == [p.name for p in out]
+        assert not list((tmp_path / "grid_dry").glob("*.jpg"))
+
+    def test_chunk_directory_gates(self, tmp_path, rng):
+        """Directory driver (..._MS.py:748-756): header-only gate skips small
+        images; skip-existing skips already-chunked; dry-run writes nothing."""
+        from adipose_tpu.wsi.chunker import chunk_directory
+
+        big = (rng.rand(600, 700) * 255).astype(np.uint8)
+        small = (rng.rand(100, 100) * 255).astype(np.uint8)
+        src = tmp_path / "in"
+        src.mkdir()
+        cv2.imwrite(str(src / "big.png"), big)
+        cv2.imwrite(str(src / "small.png"), small)
+        cfg = WSIChunkConfig(primary_tile=512, edge_multiple=128,
+                             max_dimension_px=256)
+        out_dir = tmp_path / "out"
+        plan = chunk_directory(src, out_dir, cfg, dry_run=True)
+        assert [p["file"] for p in plan["processed"]] == ["big.png"]
+        assert plan["skipped"] == [{"file": "small.png", "reason": "small"}]
+        assert not list(out_dir.glob("*.jpg"))
+
+        rep = chunk_directory(src, out_dir, cfg)
+        assert rep["outputs"] and all(Path(o).exists() for o in rep["outputs"])
+        rep2 = chunk_directory(src, out_dir, cfg, skip_existing=True)
+        assert any(s.get("reason") == "exists" for s in rep2["skipped"])
+        assert not rep2["processed"]
 
 
 class TestECM:
