@@ -138,6 +138,54 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--test-include-blurry", action="store_true", default=False)
     b.add_argument("--include-ambiguous", action="store_true", default=False)
 
+    bt = sub.add_parser("build-test-dataset",
+                        help="build an ISOLATED test set from dedicated dirs "
+                             "(build_test_dataset.py)")
+    bt.add_argument("--images-dir", required=True)
+    bt.add_argument("--masks-dir", required=True,
+                    help="JSON annotation root (Masks/-style, per-class subdirs)")
+    bt.add_argument("--output-dir", required=True)
+    bt.add_argument("--target-mask", default="fat",
+                    choices=["bubbles", "fat", "muscle"])
+    bt.add_argument("--subtract", dest="subtract", action="store_true",
+                    default=False)  # TEST_DEFAULTS :115
+    bt.add_argument("--no-subtract", dest="subtract", action="store_false")
+    bt.add_argument("--subtract-class", default="bubbles",
+                    choices=["bubbles", "fat", "muscle"])
+    bt.add_argument("--morph-close-k", type=int, default=0)
+    bt.add_argument("--min-cc-px", type=int, default=0)
+    bt.add_argument("--tile-size", type=int, default=1024)
+    bt.add_argument("--stride", type=int, default=1024)
+    bt.add_argument("--white-threshold", type=int, default=235)
+    bt.add_argument("--white-ratio-limit", type=float, default=0.70)
+    bt.add_argument("--blurry-threshold", type=float, default=7.5)
+    bt.add_argument("--min-mask-ratio", type=float, default=0.0)
+    bt.add_argument("--include-white", dest="include_white",
+                    action="store_true", default=True)
+    bt.add_argument("--exclude-white", dest="include_white",
+                    action="store_false")
+    bt.add_argument("--include-blurry", dest="include_blurry",
+                    action="store_true", default=True)
+    bt.add_argument("--exclude-blurry", dest="include_blurry",
+                    action="store_false")
+    bt.add_argument("--include-ambiguous", dest="include_ambiguous",
+                    action="store_true", default=False)
+    bt.add_argument("--exclude-ambiguous", dest="include_ambiguous",
+                    action="store_false")
+    bt.add_argument("--jpeg-quality", type=int, default=100)
+    bt.add_argument("--compression", choices=["auto", "lzw", "packbits", "none"],
+                    default="auto")
+    bt.add_argument("--workers", type=int, default=None)
+    bt.add_argument("--neg-pct", type=float, default=1.0)
+    bt.add_argument("--min-confidence", type=int, choices=[1, 2, 3], default=2)
+    bt.add_argument("--seed", type=int, default=None)
+    bt.add_argument("--stain-normalize", dest="stain_normalize",
+                    action="store_true", default=True)
+    bt.add_argument("--no-stain-normalize", dest="stain_normalize",
+                    action="store_false")
+    bt.add_argument("--reference-metadata", default=None)
+    bt.add_argument("--reference-path", default=None)
+
     c = sub.add_parser("build-class-dataset", help="build classification tile dataset")
     c.add_argument("--data-root", required=True)
     c.add_argument("--tile-size", type=int, default=1024)
@@ -173,6 +221,28 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--exclude-test-duplicates", type=_bool, default=True)
     c.add_argument("--out-parent", "--output-root", dest="out_parent",
                    default=None)
+
+    btc = sub.add_parser("build-test-class-dataset",
+                         help="build an ISOLATED classification test set "
+                              "(build_test_class_dataset.py)")
+    btc.add_argument("--images-dir", required=True)
+    btc.add_argument("--masks-dir", required=True)
+    btc.add_argument("--output-dir", required=True)
+    btc.add_argument("--tile-size", type=int, default=1024)
+    btc.add_argument("--stride", type=int, default=1024)
+    btc.add_argument("--adipose-threshold", type=float, default=0.025)
+    btc.add_argument("--white-threshold", type=int, default=245)
+    btc.add_argument("--white-ratio-limit", type=float, default=0.70)
+    btc.add_argument("--blurry-threshold", type=float, default=7.5)
+    btc.add_argument("--keep-white", type=_bool, default=True)
+    btc.add_argument("--keep-blurry", type=_bool, default=True)
+    btc.add_argument("--jpeg-quality", type=int, default=100)
+    btc.add_argument("--min-confidence", type=int, choices=[1, 2, 3], default=2)
+    btc.add_argument("--include-ambiguous", type=_bool, default=False)
+    btc.add_argument("--stain-normalize", type=_bool, default=False)
+    btc.add_argument("--reference-metadata", default=None)
+    btc.add_argument("--reference-path", default=None)
+    btc.add_argument("--seed", type=int, default=None)
 
     # -- training -------------------------------------------------------------
     t = sub.add_parser("train-unet", help="two-phase U-Net fine-tuning")
@@ -788,6 +858,41 @@ def cmd_build_dataset(args):
     print((root / "build_summary.txt").read_text())
 
 
+def cmd_build_test_dataset(args):
+    from adipose_tpu.core.config import DataBuildConfig
+    from adipose_tpu.core.seeding import get_project_seed
+    from adipose_tpu.data.tiling import SegmentationDatasetBuilder
+
+    cfg = DataBuildConfig(
+        tile_size=args.tile_size, stride=args.stride,
+        test_stride=args.stride,
+        target_mask=args.target_mask, subtract=args.subtract,
+        subtract_class=args.subtract_class,
+        morph_close_k=args.morph_close_k, min_cc_px=args.min_cc_px,
+        white_threshold=args.white_threshold,
+        white_ratio=args.white_ratio_limit,
+        blur_threshold=args.blurry_threshold,
+        test_min_mask_ratio=args.min_mask_ratio,
+        test_include_white=args.include_white,
+        test_include_blurry=args.include_blurry,
+        include_ambiguous=args.include_ambiguous,
+        jpeg_quality=args.jpeg_quality, compression=args.compression,
+        workers=args.workers, test_neg_pct=args.neg_pct,
+        min_confidence_train=args.min_confidence,
+        test_min_confidence=args.min_confidence,
+        apply_stain_norm=args.stain_normalize,
+        reference_metadata=args.reference_metadata,
+        reference_path=args.reference_path,
+        seed=args.seed if args.seed is not None else get_project_seed(),
+        val_fraction=0.0, test_fraction=0.0,
+    )
+    builder = SegmentationDatasetBuilder(cfg, out_parent=args.output_dir)
+    root = builder.build(args.images_dir, images_dir=args.images_dir,
+                         masks_dir=args.masks_dir, mark_all_test=True)
+    print(f"test-set build complete: {root}")
+    print((root / "build_summary.txt").read_text())
+
+
 def cmd_build_class_dataset(args):
     from adipose_tpu.core.config import DataBuildConfig
     from adipose_tpu.data.class_builder import ClassificationDatasetBuilder
@@ -820,6 +925,35 @@ def cmd_build_class_dataset(args):
         cfg, out_parent=args.out_parent or args.data_root)
     root = builder.build(args.data_root)
     print(f"build complete: {root}")
+
+
+def cmd_build_test_class_dataset(args):
+    from adipose_tpu.core.config import DataBuildConfig
+    from adipose_tpu.core.seeding import get_project_seed
+    from adipose_tpu.data.class_builder import ClassificationDatasetBuilder
+
+    cfg = DataBuildConfig(
+        tile_size=args.tile_size, stride=args.stride, test_stride=args.stride,
+        adipose_coverage_threshold=args.adipose_threshold,
+        white_threshold=args.white_threshold,
+        white_ratio=args.white_ratio_limit,
+        blur_threshold=args.blurry_threshold,
+        keep_white=args.keep_white, keep_blurry=args.keep_blurry,
+        jpeg_quality=args.jpeg_quality,
+        min_confidence_train=args.min_confidence,
+        min_confidence_eval=args.min_confidence,
+        include_ambiguous=args.include_ambiguous,
+        apply_stain_norm=args.stain_normalize,
+        reference_metadata=args.reference_metadata,
+        reference_path=args.reference_path,
+        seed=args.seed if args.seed is not None else get_project_seed(),
+        balance_classes=False,  # isolated test sets keep every tile
+        val_fraction=0.0, test_fraction=0.0,
+    )
+    builder = ClassificationDatasetBuilder(cfg, out_parent=args.output_dir)
+    root = builder.build(args.images_dir, images_dir=args.images_dir,
+                         masks_dir=args.masks_dir, mark_all_test=True)
+    print(f"test class-set build complete: {root}")
 
 
 def cmd_train_unet(args):
@@ -1770,6 +1904,8 @@ def cmd_bench(args):
 
 COMMANDS = {
     "build-dataset": cmd_build_dataset,
+    "build-test-dataset": cmd_build_test_dataset,
+    "build-test-class-dataset": cmd_build_test_class_dataset,
     "build-class-dataset": cmd_build_class_dataset,
     "train-unet": cmd_train_unet,
     "train-classifier": cmd_train_classifier,

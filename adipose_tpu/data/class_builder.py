@@ -57,7 +57,13 @@ class ClassificationDatasetBuilder:
         )
         self.stats = ClassBuildStats()
 
-    def build(self, data_root: str | Path) -> Path:
+    def build(self, data_root: str | Path,
+              images_dir: str | Path | None = None,
+              masks_dir: str | Path | None = None,
+              mark_all_test: bool = False) -> Path:
+        """``mark_all_test``: isolated test class set from dedicated dirs —
+        every slide routes to the test split with eval gates and no balancing
+        (``build_test_class_dataset.py:117-150``)."""
         import dataclasses
 
         cfg = self.cfg
@@ -79,8 +85,11 @@ class ClassificationDatasetBuilder:
         )
         slides = discover_slides(
             data_root, cfg.min_confidence_train,
+            images_dir=images_dir, masks_dir=masks_dir,
             exclude_test_duplicates=cfg.exclude_test_duplicates,
         )
+        if mark_all_test:
+            slides = [dataclasses.replace(s, is_test=True) for s in slides]
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
 
@@ -137,6 +146,7 @@ class ClassificationDatasetBuilder:
             self.stats.split_counts[split] = len(rows)
             import pandas as pd
 
+            (self.build_root / "dataset").mkdir(parents=True, exist_ok=True)
             pd.DataFrame(rows).to_csv(
                 self.build_root / "dataset" / f"{split}_manifest.csv", index=False
             )

@@ -474,7 +474,13 @@ class SegmentationDatasetBuilder:
 
     def build(self, data_root: str | Path,
               images_dir: str | Path | None = None,
-              masks_dir: str | Path | None = None) -> Path:
+              masks_dir: str | Path | None = None,
+              mark_all_test: bool = False) -> Path:
+        """``mark_all_test`` builds an ISOLATED test set: every discovered
+        slide routes to the test split with the test-specific gates — the
+        standalone test-set builder (``build_test_dataset.py:113-135``)."""
+        import dataclasses
+
         cfg = self.cfg
         slides = discover_slides(
             data_root, cfg.min_confidence_train,
@@ -483,6 +489,8 @@ class SegmentationDatasetBuilder:
             include_test_set=cfg.include_test_set,
             exclude_test_duplicates=cfg.exclude_test_duplicates,
         )
+        if mark_all_test:
+            slides = [dataclasses.replace(s, is_test=True) for s in slides]
         if not slides:
             raise FileNotFoundError(f"no slides discovered under {data_root}")
         # rasterization parallelizes across slides (the reference's
@@ -533,6 +541,10 @@ class SegmentationDatasetBuilder:
             "stats": vars(self.stats).copy(),
         }
         (self.build_root / "build_log.json").write_text(json.dumps(log, indent=2, default=str))
+        # the standalone test-set builder's artifact name
+        # (build_test_dataset.py:999); same content, kept for both flows
+        (self.build_root / "build_summary.json").write_text(
+            json.dumps(log, indent=2, default=str))
         s = self.stats
         summary = [
             "=== adipose_tpu dataset build summary ===",

@@ -29,6 +29,7 @@ class TestCLI:
             "segment", "classify", "reconstruct", "classification-overlay",
             "pipeline", "chunk-wsi", "preprocess-ecm", "scale-ecm",
             "compare-modalities", "tif2jpg", "export", "import-weights",
+            "build-test-dataset", "build-test-class-dataset",
         ):
             assert required in names, required
 

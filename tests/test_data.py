@@ -397,6 +397,50 @@ class TestTiling:
         assert b.stats.split_counts["train"] > 0
         assert b.stats.split_counts["val"] > 0
 
+    def test_build_test_dataset_cli(self, tmp_path, rng):
+        """Isolated test-set builder (build_test_dataset.py): everything
+        routes to dataset/test with the test gates; build_summary.json."""
+        from adipose_tpu.cli.main import COMMANDS, build_parser
+
+        img_dir = tmp_path / "imgs"
+        fat_dir = tmp_path / "anns" / "fat"
+        img_dir.mkdir()
+        fat_dir.mkdir(parents=True)
+        for i in range(2):
+            img = (rng.rand(128, 128) * 60 + 80).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"t{i}.jpg"), img)
+            sq = [[10.0, 10.0], [120.0, 10.0], [120.0, 120.0], [10.0, 120.0]]
+            (fat_dir / f"t{i}.json").write_text(json.dumps([
+                {"confidenceScore": 3,
+                 "annotation": {"elements": [{"type": "polyline", "points": sq}]}}
+            ]))
+        parser = build_parser()
+        args = parser.parse_args([
+            "build-test-dataset", "--images-dir", str(img_dir),
+            "--masks-dir", str(tmp_path / "anns"),
+            "--output-dir", str(tmp_path / "out"),
+            "--tile-size", "64", "--stride", "64", "--no-stain-normalize",
+        ])
+        COMMANDS[args.command](args)
+        build = next((tmp_path / "out").iterdir())
+        assert (build / "build_summary.json").exists()
+        tiles = list((build / "dataset" / "test" / "images").glob("*.jpg"))
+        assert tiles, "all tiles must land in test"
+        assert not list((build / "dataset" / "train" / "images").glob("*.jpg"))
+
+        # classification variant: test split folders, no balancing
+        args = parser.parse_args([
+            "build-test-class-dataset", "--images-dir", str(img_dir),
+            "--masks-dir", str(tmp_path / "anns"),
+            "--output-dir", str(tmp_path / "out_cls"),
+            "--tile-size", "64", "--stride", "64",
+        ])
+        COMMANDS[args.command](args)
+        build = next((tmp_path / "out_cls").iterdir())
+        n_pos = len(list((build / "dataset" / "test" / "adipose").glob("*.jpg")))
+        assert n_pos > 0
+        assert (build / "dataset" / "test_manifest.csv").exists()
+
     def test_find_most_recent_build_dir(self, tmp_path):
         (tmp_path / "_build_20240101_000000").mkdir()
         (tmp_path / "_build_20250101_000000").mkdir()

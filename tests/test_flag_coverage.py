@@ -17,6 +17,8 @@ REFERENCE = Path("/root/reference")
 
 SCRIPT_TO_COMMAND = {
     "Segmentation/build_dataset.py": "build-dataset",
+    "Segmentation/build_test_dataset.py": "build-test-dataset",
+    "Classification/build_test_class_dataset.py": "build-test-class-dataset",
     "Segmentation/train_adipose_unet_v3.py": "train-unet",
     "Segmentation/full_evaluation_enhanced.py": "evaluate",
     "Segmentation/segmentation_inference.py": "segment",
