@@ -195,6 +195,18 @@ def auc_metrics(pred, true) -> dict:
 
 
 @jax.jit
+def activation_stats(y_pred: jax.Array) -> dict:
+    """Prediction activation statistics — the reference's act_mean/min/max/std
+    training metrics (``src/utils/model.py:24-35``)."""
+    p = y_pred.astype(jnp.float32)
+    return {
+        "act_mean": jnp.mean(p),
+        "act_min": jnp.min(p),
+        "act_max": jnp.max(p),
+        "act_std": jnp.std(p),
+    }
+
+
 def binary_accuracy(y_true: jax.Array, y_pred: jax.Array, threshold: float = 0.5):
     return jnp.mean(((y_pred > threshold).astype(jnp.float32) == y_true).astype(jnp.float32))
 

@@ -134,7 +134,10 @@ def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float
             images = batched_percentile_unit(images, p_low, p_high)
         out = model.apply(params, images, train=False)
         main = out["main_out"] if isinstance(out, dict) else out
-        return {"loss": loss_fn(masks, out), "dice_coef": L.dice_coef(masks, main)}
+        from adipose_tpu.ops.metrics import activation_stats
+
+        return {"loss": loss_fn(masks, out), "dice_coef": L.dice_coef(masks, main),
+                **activation_stats(main)}
 
     return step
 

@@ -209,6 +209,11 @@ class TestEndToEndTraining:
         # history recorded losses
         losses = [h["loss"] for h in trainer.history]
         assert losses[-1] < losses[0]
+        # activation-stat metrics logged per epoch (src/utils/model.py:24-35)
+        h0 = trainer.history[0]
+        assert {"val_act_mean", "val_act_min", "val_act_max",
+                "val_act_std"} <= set(h0)
+        assert 0.0 <= h0["val_act_mean"] <= 1.0
 
 
 class TestPretrainedMerge:
