@@ -239,7 +239,9 @@ def build_parser() -> argparse.ArgumentParser:
     btc.add_argument("--jpeg-quality", type=int, default=100)
     btc.add_argument("--min-confidence", type=int, choices=[1, 2, 3], default=2)
     btc.add_argument("--include-ambiguous", type=_bool, default=False)
-    btc.add_argument("--stain-normalize", type=_bool, default=False)
+    btc.add_argument("--stain-normalize", type=_bool, required=True,
+                     help="required true/false — the reference forces an "
+                          "explicit choice (build_test_class_dataset.py:145)")
     btc.add_argument("--reference-metadata", default=None)
     btc.add_argument("--reference-path", default=None)
     btc.add_argument("--seed", type=int, default=None)

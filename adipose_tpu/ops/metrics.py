@@ -207,6 +207,7 @@ def activation_stats(y_pred: jax.Array) -> dict:
     }
 
 
+@jax.jit
 def binary_accuracy(y_true: jax.Array, y_pred: jax.Array, threshold: float = 0.5):
     return jnp.mean(((y_pred > threshold).astype(jnp.float32) == y_true).astype(jnp.float32))
 

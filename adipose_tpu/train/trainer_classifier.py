@@ -86,13 +86,20 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
     def step(state: TrainState, images_u8, labels, class_w, rng):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            imgs = jax.vmap(
-                lambda im: jnp.clip(
-                    (im - jnp.percentile(im, p_low))
-                    / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-                    0.0, 1.0,
-                ) * 255.0
-            )(imgs)
+            if jax.default_backend() == "tpu":
+                # raw u8 loader tiles, normalized BEFORE augmentation — the
+                # exact-u8 CDF kernel applies (same swap as the val path)
+                from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
+
+                imgs = percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
+            else:
+                imgs = jax.vmap(
+                    lambda im: jnp.clip(
+                        (im - jnp.percentile(im, p_low))
+                        / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+                        0.0, 1.0,
+                    ) * 255.0
+                )(imgs)
         aug_key, drop_key = jax.random.split(rng)
         keys = jax.random.split(aug_key, imgs.shape[0])
         imgs = jax.vmap(augment_grayscale_classification)(keys, imgs)
@@ -151,10 +158,12 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
                 # uint8-origin tiles: the exact 256-bin-CDF Pallas kernel
                 # replaces the per-image 1M-element sort — 364 → 79 ms per
                 # 128-batch at 1024² on v5e, bit-identical on integer-valued
-                # data (fractional inputs floor to their bin)
+                # data. Fractional inputs (16-bit TIFFs scaled to [0,255])
+                # round to the nearest bin first (≤0.5/255 quantization,
+                # PARITY.md §Known deviations)
                 from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
 
-                imgs = percentile_normalize_u8(imgs, p_low, p_high) * 255.0
+                imgs = percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
             else:
                 imgs = jax.vmap(
                     lambda im: jnp.clip(

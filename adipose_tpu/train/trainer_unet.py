@@ -267,7 +267,10 @@ class UNetTrainer:
 
         # Preemption recovery: resume mid-phase from the rolling 'latest'
         # checkpoint (orbax params + progress metadata). The reference has no
-        # preemption story (SURVEY.md §5 failure detection).
+        # preemption story (SURVEY.md §5 failure detection). Restored: params,
+        # the phase-best snapshot (so a post-resume plateau still emits the
+        # true best as weights_best_overall), plateau LR, and early-stop
+        # counters. Adam moments restart fresh — noted in the resume line.
         start_epoch = 0
         latest_meta = self.ckpt_dir / "latest_state.json"
         if self.auto_resume and latest_meta.exists():
@@ -279,7 +282,19 @@ class UNetTrainer:
                 state = state.replace(params=jax.tree.map(jnp.asarray, restored))
                 start_epoch = int(meta["epoch"]) + 1
                 best_dice = float(meta.get("best_dice", -np.inf))
-                print(f"[resume] phase {phase} from epoch {start_epoch}")
+                best_path = self.ckpt_dir / f"phase{phase}_best"
+                if best_dice > -np.inf and best_path.exists():
+                    best_params = ckpt.load_params(best_path)
+                if plateau is not None and "plateau_lr" in meta:
+                    plateau.lr = float(meta["plateau_lr"])
+                    state = state.replace(
+                        opt_state=set_learning_rate(state.opt_state, plateau.lr))
+                if "stopper_best" in meta and meta["stopper_best"] is not None:
+                    stopper.best = float(meta["stopper_best"])
+                    stopper.best_epoch = int(meta.get("stopper_best_epoch", -1))
+                    stopper.wait = int(meta.get("stopper_wait", 0))
+                print(f"[resume] phase {phase} from epoch {start_epoch} "
+                      f"(best dice {best_dice:.4f}; optimizer moments fresh)")
 
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -359,6 +374,10 @@ class UNetTrainer:
                 ckpt.save_params(self.ckpt_dir, "latest", jax.device_get(state.params))
                 (self.ckpt_dir / "latest_state.json").write_text(_json.dumps({
                     "phase": phase, "epoch": epoch, "best_dice": float(best_dice),
+                    "plateau_lr": plateau.lr if plateau is not None else None,
+                    "stopper_best": stopper.best,
+                    "stopper_best_epoch": stopper.best_epoch,
+                    "stopper_wait": stopper.wait,
                 }))
             if stopper.update(val_dice, epoch):
                 break
@@ -430,7 +449,23 @@ class UNetTrainer:
         e1 = cfg.epochs_phase1 if epochs_phase1 is None else epochs_phase1
         e2 = cfg.epochs_phase2 if epochs_phase2 is None else epochs_phase2
 
-        if resume_from is not None:
+        # Phase-2 preemption: when the saved progress is already in phase 2,
+        # phase 1 is DONE — re-running it would clobber the phase-2 rolling
+        # checkpoint metadata and restart phase 2 from scratch.
+        resumed_past_phase1 = False
+        if self.auto_resume and (self.ckpt_dir / "latest_state.json").exists():
+            import json as _json
+
+            meta = _json.loads((self.ckpt_dir / "latest_state.json").read_text())
+            if meta.get("phase") == 2 and (self.ckpt_dir / "phase1_best").exists():
+                best1 = ckpt.load_params(self.ckpt_dir / "phase1_best")
+                dice1 = float("nan")
+                resumed_past_phase1 = True
+                print("[resume] phase 1 already complete; resuming phase 2")
+
+        if resumed_past_phase1:
+            pass
+        elif resume_from is not None:
             best1, dice1 = params, float("nan")
         else:
             best1, dice1 = self._run_phase(

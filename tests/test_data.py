@@ -434,6 +434,7 @@ class TestTiling:
             "--masks-dir", str(tmp_path / "anns"),
             "--output-dir", str(tmp_path / "out_cls"),
             "--tile-size", "64", "--stride", "64",
+            "--stain-normalize", "false",  # required, as in the reference
         ])
         COMMANDS[args.command](args)
         build = next((tmp_path / "out_cls").iterdir())

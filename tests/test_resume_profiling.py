@@ -50,17 +50,39 @@ def test_auto_resume_continues_phase(tmp_path, rng):
     assert (run / "latest").is_dir()
 
     # simulate preemption mid-phase-2: rewind metadata to epoch 0 and rerun —
-    # the resumed run must start phase 2 at epoch 1 (skip epoch 0)
+    # phase 1 must be SKIPPED (already complete; re-running would clobber the
+    # phase-2 rolling checkpoint) and phase 2 must resume at epoch 1
     (run / "latest_state.json").write_text(json.dumps({
         "phase": 2, "epoch": 0, "best_dice": 0.0,
     }))
+    phase1_log_before = (run / "phase1_training.log").read_text()
     tr2 = UNetTrainer(tmp_path, cfg, mcfg, checkpoint_root=tmp_path / "c",
                       build_timestamp="20260101_000000", auto_resume=True)
-    # phase 1 runs fresh (its latest meta points at phase 2), phase 2 resumes
     result = tr2.train(epochs_phase1=1, epochs_phase2=3)
     meta = json.loads((run / "latest_state.json").read_text())
     assert meta["phase"] == 2 and meta["epoch"] == 2
     assert result["phase2_best_dice"] >= 0.0
+    # phase 1 did not re-run
+    assert (run / "phase1_training.log").read_text() == phase1_log_before
+
+    # resume restores the phase-best snapshot: with a rigged huge best_dice no
+    # epoch improves, and weights_best_overall must equal phase2_best
+    (run / "latest_state.json").write_text(json.dumps({
+        "phase": 2, "epoch": 0, "best_dice": 0.99,
+    }))
+    tr3 = UNetTrainer(tmp_path, cfg, mcfg, checkpoint_root=tmp_path / "c",
+                      build_timestamp="20260101_000000", auto_resume=True)
+    res3 = tr3.train(epochs_phase1=1, epochs_phase2=2)
+    assert res3["phase2_best_dice"] == pytest.approx(0.99)
+    import jax
+    import numpy as np_
+
+    from adipose_tpu.train import checkpoint as ckpt
+
+    best_overall = ckpt.load_params(run / "weights_best_overall")
+    phase2_best = ckpt.load_params(run / "phase2_best")
+    for a, b in zip(jax.tree.leaves(best_overall), jax.tree.leaves(phase2_best)):
+        assert np_.array_equal(np_.asarray(a), np_.asarray(b))
 
 
 def test_infer_jit_cpu_fallback():
