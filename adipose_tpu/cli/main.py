@@ -303,6 +303,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="percentile")
     t.add_argument("--percentile-low", type=float, default=1.0)
     t.add_argument("--percentile-high", type=float, default=99.0)
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler device trace of the run")
     t.add_argument("--resume-from", default=None)
     t.add_argument("--auto-resume", action="store_true",
                    help="resume mid-phase from the run dir's latest epoch "
@@ -347,6 +349,8 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_false")
     tc.add_argument("--checkpoint-dir", default="checkpoints/classifier_runs")
     tc.add_argument("--suffix", default="")
+    tc.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace of the run")
 
     # -- evaluation -----------------------------------------------------------
     e = sub.add_parser("evaluate", help="publication-quality segmentation eval")
@@ -992,13 +996,16 @@ def cmd_train_unet(args):
         shard_spatial=args.shard_spatial,
     )
     mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
+    from adipose_tpu.core.profiling import trace
+
     trainer = UNetTrainer(data_root, cfg, mcfg,
                           checkpoint_name=args.checkpoint_name + args.checkpoint_suffix,
                           checkpoint_root=args.checkpoint_root,
                           build_timestamp=args.run_timestamp,
                           auto_resume=args.auto_resume)
-    result = trainer.train(resume_from=args.resume_from,
-                           pretrained_weights=args.pretrained_weights)
+    with trace(args.profile_dir):
+        result = trainer.train(resume_from=args.resume_from,
+                               pretrained_weights=args.pretrained_weights)
     print(json.dumps(result, indent=2))
 
 
@@ -1026,7 +1033,10 @@ def cmd_train_classifier(args):
         patience=args.patience, save_best_only=args.save_best_only,
         pretrained_weights=args.pretrained_weights,
     )
-    result = trainer.train(args.warmup_epochs, args.finetune_epochs)
+    from adipose_tpu.core.profiling import trace
+
+    with trace(args.profile_dir):
+        result = trainer.train(args.warmup_epochs, args.finetune_epochs)
     print(json.dumps(result, indent=2))
 
 
