@@ -30,7 +30,36 @@ WARMUP = 2
 ITERS = 6
 
 
+_WATCHDOG = None
+
+
+def _watchdog(seconds: int = 480) -> None:
+    """Print an honest error line and exit if the accelerator is unreachable.
+
+    The tunneled TPU service can wedge (observed: a crashed remote-compile
+    endpoint leaves every device call hanging forever — in a blocking C call,
+    so signal handlers never run). A daemon timer thread + os._exit is the
+    only reliable bail; a hung bench is worse than a failed one for the
+    round driver."""
+    import os
+    import threading
+
+    def bail():
+        print(json.dumps({
+            "metric": "unet_1024px_tiles_per_sec", "value": 0.0,
+            "unit": "tiles/s/chip", "vs_baseline": 0.0,
+            "error": f"accelerator unreachable within {seconds}s",
+        }), flush=True)
+        os._exit(2)
+
+    global _WATCHDOG
+    _WATCHDOG = threading.Timer(seconds, bail)
+    _WATCHDOG.daemon = True
+    _WATCHDOG.start()
+
+
 def main() -> None:
+    _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +100,8 @@ def main() -> None:
     _ = float(outs[-1][0, 0, 0])
     elapsed = time.perf_counter() - t0
 
+    if _WATCHDOG is not None:
+        _WATCHDOG.cancel()  # measurement complete; disarm the watchdog
     tiles_per_sec = BATCH * ITERS / elapsed
     print(json.dumps({
         "metric": f"unet_{TILE}px_tiles_per_sec",
