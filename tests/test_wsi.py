@@ -258,6 +258,46 @@ class TestDualModelPipeline:
         assert log["n_tiles"] == 4
 
 
+def test_reconstruct_all_slides_output_knobs(tmp_path, rng):
+    """reconstruct_all_slides honors the reference's output controls
+    (reconstruct_full_images.py:894-928): blend mode, max-tiles dir naming
+    + grid limiting, overlay/comparison artifacts, save-masks gate."""
+    import jax
+
+    from adipose_tpu.wsi.reconstruct import reconstruct_all_slides
+
+    img_dir = tmp_path / "imgs"
+    msk_dir = tmp_path / "msks"
+    img_dir.mkdir()
+    msk_dir.mkdir()
+    for r in range(2):
+        for c in range(2):
+            img = (rng.rand(32, 32) * 200).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f"sl_r{r}_c{c}.jpg"), img)
+            cv2.imwrite(str(msk_dir / f"sl_r{r}_c{c}.tif"),
+                        ((rng.rand(32, 32) > 0.6) * 255).astype(np.uint8))
+
+    def predict(p, tiles):
+        return jax.nn.sigmoid((tiles - 100.0) / 50.0)
+
+    log = reconstruct_all_slides(
+        img_dir, msk_dir, tmp_path / "out", predict, None,
+        tile_size=32, stride=32, blend_mode="linear", max_tiles=1,
+        save_overlays=True, save_comparisons=True, save_masks=False,
+        batch_size=2,
+    )
+    out = tmp_path / "out_1x1"  # max-tiles encoded in the dir name (:603-605)
+    assert out.exists() and "sl" in log["slides"]
+    slide = out / "sl"
+    assert (slide / "prediction.png").exists()
+    assert (slide / "overlay.png").exists()
+    assert (slide / "comparison_4panel.png").exists()
+    assert not (slide / "binary_mask.png").exists()  # --no-save-masks
+    # max_tiles=1 limits to the top-left tile
+    pred = cv2.imread(str(slide / "prediction.png"), cv2.IMREAD_UNCHANGED)
+    assert pred.shape == (32, 32)
+
+
 def test_reconstruct_fused_blend_matches_legacy(rng):
     """Device-fused predict+blend must be bit-identical to the two-pass path."""
     import jax
