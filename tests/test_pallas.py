@@ -44,6 +44,25 @@ def test_percentile_normalize_matches_numpy(tiles):
         assert np.abs(got[i] - want).max() < 1e-5
 
 
+def test_percentile_fractional_input_rounds_to_bins(rng):
+    """PARITY §Known deviations: fractional inputs (16-bit-TIFF-origin floats)
+    round to the nearest u8 bin; the result equals the exact path on the
+    rounded data and stays within the quantization bound of the float path."""
+    frac = (rng.rand(2, 64, 64) * 255).astype(np.float32)
+    got = np.asarray(percentile_normalize_u8(jnp.round(jnp.asarray(frac)),
+                                             1.0, 99.0))
+    for i in range(2):
+        r = np.round(frac[i]).astype(np.float64)
+        plow, phigh = np.percentile(r, (1.0, 99.0))
+        want = np.clip((r - plow) / max(phigh - plow, 1e-3), 0, 1)
+        assert np.abs(got[i] - want).max() < 1e-5
+        # vs the exact float percentile path: within the u8 quantization bound
+        f = frac[i].astype(np.float64)
+        pl, ph = np.percentile(f, (1.0, 99.0))
+        exact = np.clip((f - pl) / max(ph - pl, 1e-3), 0, 1)
+        assert np.abs(got[i] - exact).max() < 2.0 / 255.0
+
+
 def test_percentile_constant_tile():
     flat = np.full((1, 32, 32), 100, np.uint8)
     got = np.asarray(percentile_normalize_u8(jnp.asarray(flat)))
