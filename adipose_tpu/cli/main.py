@@ -1076,13 +1076,17 @@ def cmd_evaluate(args):
         print(f"{k:>16}: {v['mean']:.4f} [{v['ci_lower']:.4f}, {v['ci_upper']:.4f}]")
 
 
+def _selected_names(args):
+    """Dataset names picked by --val/--test/--human-test/--clean-test."""
+    return [n for n in ("val", "test", "human_test", "clean_test")
+            if getattr(args, n)]
+
+
 def _selected_datasets(args):
-    """Resolve --val/--test/--human-test/--clean-test under --data-root
+    """Resolve the selector flags under --data-root
     (layout <root>/<stain_normalized|original>/<name>, falling back to
     <root>/<name>; evaluate_all_checkpoints.py:531-549,607)."""
-    names = [n for a, n in (("val", "val"), ("test", "test"),
-                            ("human_test", "human_test"),
-                            ("clean_test", "clean_test")) if getattr(args, a)]
+    names = _selected_names(args)
     if not names:
         return []
     root = Path(args.data_root or ".")
@@ -1501,9 +1505,7 @@ def cmd_visualize_metrics(args):
         df = df[df["checkpoint"].isin(args.checkpoints)]
     # dataset/source selectors filter on the eval-dir name prefix
     # ({dataset}_{source}_..., full_evaluation_enhanced.py:2060-2101)
-    names = [n for a, n in (("val", "val"), ("test", "test"),
-                            ("human_test", "human_test"),
-                            ("clean_test", "clean_test")) if getattr(args, a)]
+    names = _selected_names(args)
     if not df.empty and names:
         df = df[df["eval_dir"].map(
             lambda d: any(d.startswith(f"{n}_") for n in names))]

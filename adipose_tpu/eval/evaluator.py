@@ -100,23 +100,12 @@ def build_output_dir(
     dataset_name = test_dataset.name
     parent = test_dataset.parent.name
     source = "stain" if "stain" in parent.lower() else "original"
-    suffixes = []
-    if cfg.use_ema_weights:
-        suffixes.append("ema")
-    if cfg.use_tta:
-        suffixes.append(f"tta_{cfg.tta_mode}")
-    if cfg.use_sliding_window:
-        sw = f"sw_{cfg.blend_mode}"
-        if cfg.sliding_overlap != 0.5:
-            sw += f"_o{int(cfg.sliding_overlap * 100)}"
-        suffixes.append(sw)
-    if cfg.use_boundary_refinement:
-        # non-default kernel encoded in the dir name (:2081-2082)
-        suffixes.append("refine" if cfg.refine_kernel == 5
-                        else f"refine{cfg.refine_kernel}")
-    if cfg.adaptive_threshold:
-        suffixes.append("adaptive")
-    name = f"{dataset_name}_{source}" + ("_" + "_".join(suffixes) if suffixes else "")
+    # one suffix encoder shared with the metrics visualizer — the dir-name
+    # contract both sides must agree on (visualize_checkpoint_metrics.py:646)
+    from adipose_tpu.eval.batch_eval import build_eval_config_string
+
+    suffix = build_eval_config_string(cfg)
+    name = f"{dataset_name}_{source}" + (f"_{suffix}" if suffix else "")
     return checkpoint_dir / "evaluation" / name
 
 

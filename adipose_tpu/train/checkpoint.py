@@ -89,6 +89,22 @@ def load_params(path: str | Path, like=None):
         return ckptr.restore(Path(path).resolve())
 
 
+def merge_matching(dst, src):
+    """By-name pytree merge: copy ``src`` leaves whose path AND shape match
+    ``dst``; everything else keeps ``dst`` (the reference's by_name +
+    skip_mismatch loading, ``train_adipose_unet_v3.py:881-916`` /
+    ``train_adipose_classifier_v0.py:322-353``)."""
+    import jax.numpy as jnp
+
+    if isinstance(dst, dict) and isinstance(src, dict):
+        return {k: merge_matching(v, src[k]) if k in src else v
+                for k, v in dst.items()}
+    if (hasattr(dst, "shape") and hasattr(src, "shape")
+            and dst.shape == src.shape):
+        return jnp.asarray(src)
+    return dst  # shape mismatch / extra leaf: keep the fresh init
+
+
 def resolve_weights_path(weights_arg: str | Path, use_ema: bool = False) -> Path:
     """Find the best available weights in a checkpoint dir, mirroring
     ``resolve_weights_path``/``_find_best_weights_in_dir``

@@ -77,6 +77,27 @@ def compute_image_level_class_weights(
     return weights
 
 
+def _percentile_norm_255(imgs, p_low: float, p_high: float):
+    """Per-image percentile stretch back to [0, 255].
+
+    On TPU, u8-origin (B, H, W) batches use the exact 256-bin-CDF Pallas
+    kernel instead of a per-image 1M-element sort (364 → 79 ms per 128-batch
+    at 1024² on v5e); fractional inputs round to the nearest bin first
+    (PARITY.md §Known deviations). Elsewhere (and for RGB), the exact float
+    sort path."""
+    if imgs.ndim == 3 and jax.default_backend() == "tpu":
+        from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
+
+        return percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
+    return jax.vmap(
+        lambda im: jnp.clip(
+            (im - jnp.percentile(im, p_low))
+            / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
+            0.0, 1.0,
+        ) * 255.0
+    )(imgs)
+
+
 def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
                      p_low: float, p_high: float, stats_mask):
     # NOTE: stays at the default scoped-VMEM budget — the 48 MiB train_jit
@@ -86,20 +107,7 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
     def step(state: TrainState, images_u8, labels, class_w, rng):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            if jax.default_backend() == "tpu":
-                # raw u8 loader tiles, normalized BEFORE augmentation — the
-                # exact-u8 CDF kernel applies (same swap as the val path)
-                from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
-
-                imgs = percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
-            else:
-                imgs = jax.vmap(
-                    lambda im: jnp.clip(
-                        (im - jnp.percentile(im, p_low))
-                        / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-                        0.0, 1.0,
-                    ) * 255.0
-                )(imgs)
+            imgs = _percentile_norm_255(imgs, p_low, p_high)
         aug_key, drop_key = jax.random.split(rng)
         keys = jax.random.split(aug_key, imgs.shape[0])
         imgs = jax.vmap(augment_grayscale_classification)(keys, imgs)
@@ -154,24 +162,7 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
     def preprocess(images_u8):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            if imgs.ndim == 3 and jax.default_backend() == "tpu":
-                # uint8-origin tiles: the exact 256-bin-CDF Pallas kernel
-                # replaces the per-image 1M-element sort — 364 → 79 ms per
-                # 128-batch at 1024² on v5e, bit-identical on integer-valued
-                # data. Fractional inputs (16-bit TIFFs scaled to [0,255])
-                # round to the nearest bin first (≤0.5/255 quantization,
-                # PARITY.md §Known deviations)
-                from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
-
-                imgs = percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
-            else:
-                imgs = jax.vmap(
-                    lambda im: jnp.clip(
-                        (im - jnp.percentile(im, p_low))
-                        / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-                        0.0, 1.0,
-                    ) * 255.0
-                )(imgs)
+            imgs = _percentile_norm_255(imgs, p_low, p_high)
         if imgs.ndim == 4:  # (B, H, W, 3) RGB — legacy-classifier path, no tiling
             x = jax.image.resize(imgs, (imgs.shape[0], 299, 299, 3), "bilinear")
             return x / 127.5 - 1.0
@@ -276,16 +267,7 @@ class ClassifierTrainer:
                 print(f"[pretrained] TF import skipped: {e}")
                 return variables
         loaded = ckpt.load_params(ckpt.resolve_weights_path(p))
-
-        def merge(dst, src):
-            if isinstance(dst, dict) and isinstance(src, dict):
-                return {k: merge(v, src[k]) if k in src else v
-                        for k, v in dst.items()}
-            if (hasattr(dst, "shape") and hasattr(src, "shape")
-                    and dst.shape == src.shape):
-                return jnp.asarray(src)
-            return dst
-        return merge(variables, loaded)
+        return ckpt.merge_matching(variables, loaded)
 
     def _run_phase(self, phase: int, variables, epochs: int, lr: float,
                    unfreeze_from: str | None, patience: int = 3):

@@ -401,17 +401,7 @@ class UNetTrainer:
                 print(f"[pretrained] TF import fell back to by-name merge: {e}")
                 return params
         loaded = ckpt.load_params(ckpt.resolve_weights_path(p))
-
-        def merge(dst, src):
-            if isinstance(dst, dict) and isinstance(src, dict):
-                return {k: merge(v, src[k]) if k in src else v
-                        for k, v in dst.items()}
-            if (hasattr(dst, "shape") and hasattr(src, "shape")
-                    and dst.shape == src.shape):
-                return jnp.asarray(src)
-            return dst  # shape mismatch / extra leaf: keep fresh init
-
-        merged = merge(params, loaded)
+        merged = ckpt.merge_matching(params, loaded)
         n = sum(1 for _ in jax.tree.leaves(merged))
         print(f"[pretrained] merged by name from {p} ({n} leaves)")
         return merged
