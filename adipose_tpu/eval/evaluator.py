@@ -218,7 +218,7 @@ class PublicationEvaluator:
         output_dir: str | Path | None = None,
         optimize_threshold: bool | None = None,
         save_visualizations: bool = False,
-        n_vis_samples: int = 20,
+        n_vis_samples: int = 10,  # reference default (:2007-2009)
     ) -> dict:
         cfg = self.cfg
         np.random.seed(cfg.eval_seed)  # set_deterministic_seeds(1337) analog
