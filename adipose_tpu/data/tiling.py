@@ -43,20 +43,22 @@ from adipose_tpu.ops.qc import classify_tiles_batch
 from adipose_tpu.ops.stain import DEFAULT_REFERENCE, reinhard_normalize_batch
 
 
+def _axis_offsets(extent: int, tile: int, stride: int) -> np.ndarray:
+    """Edge-clamped ceil-step offsets along one axis: the last tile is pulled
+    back so it ends exactly at ``extent`` (behavior of ``build_dataset.py:
+    1287-1307``'s grid — every offset is ``min(i·stride, extent − tile)``)."""
+    n = max(1, math.ceil((extent - tile) / stride) + 1)
+    return np.minimum(np.arange(n) * stride, extent - tile)
+
+
 def tile_coords(h: int, w: int, tile: int, stride: int):
     """(ri, ci, ys, xs) grid covering the image (``build_dataset.py:1287-1307``)."""
     if h < tile or w < tile:
         return []
-    x_steps = max(1, math.ceil((w - tile) / stride) + 1)
-    y_steps = max(1, math.ceil((h - tile) / stride) + 1)
-    coords = []
-    for ri in range(y_steps):
-        for ci in range(x_steps):
-            xs = min(ci * stride, w - tile)
-            ys = min(ri * stride, h - tile)
-            if xs >= 0 and ys >= 0 and xs + tile <= w and ys + tile <= h:
-                coords.append((ri, ci, ys, xs))
-    return coords
+    ys, xs = _axis_offsets(h, tile, stride), _axis_offsets(w, tile, stride)
+    ri, ci = np.divmod(np.arange(ys.size * xs.size), xs.size)
+    grid = np.stack([ri, ci, ys[ri], xs[ci]], axis=1)
+    return [tuple(row) for row in grid.tolist()]
 
 
 @dataclass
@@ -241,7 +243,7 @@ class SegmentationDatasetBuilder:
     # -- stage 2: tiling + QC + filters ---------------------------------------
 
     def _qc_batchwise(self, tiles: list) -> list:
-        """Device-batched QC over gray tiles; returns verdict dicts."""
+        """Device-batched QC over gray or RGB tiles; returns verdict dicts."""
         out = []
         cfg = self.cfg
         for i in range(0, len(tiles), self.qc_batch):
@@ -289,22 +291,28 @@ class SegmentationDatasetBuilder:
         )
         min_ratio = cfg.test_min_mask_ratio if slide.is_test else cfg.ambiguous_high
 
-        tiles_gray = [gray[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
-                      for (_, _, ys, xs) in coords]
-        verdicts = self._qc_batchwise(tiles_gray)
-
-        if cfg.apply_stain_norm and rgb is not None:
-            ref = self._stain_reference()
-            ref_mean, ref_std = ref.as_arrays()
-            normed = []
-            for i in range(0, len(coords), self.qc_batch):
-                chunk = np.stack([
-                    rgb[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
-                    for (_, _, ys, xs) in coords[i : i + self.qc_batch]
-                ]).astype(np.float32) / 255.0
-                out = reinhard_normalize_batch(jnp.asarray(chunk), ref_mean, ref_std)
-                normed.extend(np.asarray(out * 255.0).astype(np.uint8))
-            tiles_gray = [cv2.cvtColor(t, cv2.COLOR_RGB2GRAY) for t in normed]
+        if rgb is not None:
+            # reference order (build_dataset.py:1211-1284): crop → optional
+            # per-tile Reinhard → QC on the (normalized) COLOR tile
+            tiles_rgb = [rgb[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
+                         for (_, _, ys, xs) in coords]
+            if cfg.apply_stain_norm:
+                ref = self._stain_reference()
+                ref_mean, ref_std = ref.as_arrays()
+                normed = []
+                for i in range(0, len(coords), self.qc_batch):
+                    chunk = np.stack(
+                        tiles_rgb[i : i + self.qc_batch]
+                    ).astype(np.float32) / 255.0
+                    out = reinhard_normalize_batch(jnp.asarray(chunk), ref_mean, ref_std)
+                    normed.extend(np.asarray(out * 255.0).astype(np.uint8))
+                tiles_rgb = normed
+            verdicts = self._qc_batchwise(tiles_rgb)
+            tiles_gray = [cv2.cvtColor(t, cv2.COLOR_RGB2GRAY) for t in tiles_rgb]
+        else:
+            tiles_gray = [gray[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
+                          for (_, _, ys, xs) in coords]
+            verdicts = self._qc_batchwise(tiles_gray)
 
         results = []
         for (ri, ci, ys, xs), tile_img, v in zip(coords, tiles_gray, verdicts):

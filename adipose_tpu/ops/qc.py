@@ -2,9 +2,11 @@
 
 Behavioral spec: ``Segmentation/build_dataset.py:1253-1284``
 (``classify_tiles_batch``): a tile is *empty/white* when the fraction of pixels
-≥235 (per-channel mean for RGB) exceeds 0.70; *blurry* when the variance of the
-3×3 Laplacian response is below 7.5. The classification-dataset builder applies
-the same gates to negatives only (``Classification/build_class_dataset.py:560-572,692-702``).
+whose channels are ALL ≥235 (``np.all(tile >= t, axis=2)``, :1264) exceeds
+0.70; *blurry* when the variance of the 3×3 Laplacian of the cv2 grayscale
+(weighted 0.299·R+0.587·G+0.114·B fixed-point, :1270) is below 7.5. The
+classification-dataset builder applies the same gates to negatives only
+(``Classification/build_class_dataset.py:560-572,692-702``).
 
 TPU-native: both tests are elementwise + small-stencil ops, so a whole batch of
 1024² tiles is classified in one fused jit program on device — the reference's
@@ -28,23 +30,36 @@ _LAPLACIAN = jnp.array(
 
 @jax.jit
 def white_ratio(tile: jax.Array, threshold: float = WHITE_THRESHOLD) -> jax.Array:
-    """Fraction of near-white pixels. Accepts (H, W) grayscale or (H, W, 3) RGB
-    (RGB uses the per-pixel channel mean, matching the builder)."""
+    """Fraction of near-white pixels. Accepts (H, W) grayscale or (H, W, 3) RGB.
+
+    RGB: a pixel is white only when ALL channels are ≥ threshold
+    (``np.all(tile >= white_threshold, axis=2)``, ``build_dataset.py:1264``).
+    """
     t = tile.astype(jnp.float32)
-    if t.ndim == 3:
-        t = jnp.mean(t, axis=-1)
-    return jnp.mean((t >= threshold).astype(jnp.float32))
+    white = (t >= threshold) if t.ndim == 2 else jnp.all(t >= threshold, axis=-1)
+    return jnp.mean(white.astype(jnp.float32))
+
+
+def _cv2_gray(rgb: jax.Array) -> jax.Array:
+    """cv2.cvtColor(BGR2GRAY) on RGB-ordered channels, bit-exact for u8-origin
+    values: fixed-point ``(R·9798 + G·19235 + B·3735 + 16384) >> 15`` (OpenCV's
+    CV_8U descale with yuv_shift=15; verified bit-exact vs cv2 5.0)."""
+    i = jnp.round(rgb.astype(jnp.float32)).astype(jnp.int32)
+    y = (i[..., 0] * 9798 + i[..., 1] * 19235 + i[..., 2] * 3735 + 16384) >> 15
+    return y.astype(jnp.float32)
 
 
 @jax.jit
 def laplacian_variance(tile: jax.Array) -> jax.Array:
     """Variance of the 3×3 Laplacian response (cv2.Laplacian(...).var()).
 
+    RGB tiles are first converted with cv2's weighted fixed-point grayscale
+    (``build_dataset.py:1270`` converts BGR→gray before the Laplacian).
     cv2 uses BORDER_REFLECT_101 padding; we reproduce it via jnp.pad 'reflect'.
     """
     t = tile.astype(jnp.float32)
     if t.ndim == 3:
-        t = jnp.mean(t, axis=-1)
+        t = _cv2_gray(t)
     padded = jnp.pad(t, 1, mode="reflect")
     resp = jax.lax.conv_general_dilated(
         padded[None, None, :, :],

@@ -93,3 +93,24 @@ class TestQC:
         tiles = jnp.asarray(rng.rand(4, 64, 64).astype(np.float32) * 255)
         v = qc.classify_tiles_batch(tiles, 235.0, 0.70, 7.5)
         assert v["is_good"].shape == (4,)
+
+    def test_white_ratio_rgb_all_channels(self, rng):
+        # biased bright so a meaningful fraction trips the all-channel test
+        img = (200 + rng.rand(64, 64, 3) * 55).astype(np.uint8)
+        got = float(qc.white_ratio(jnp.asarray(img)))
+        want = np.all(img >= 235, axis=2).mean()  # build_dataset.py:1264
+        assert got == pytest.approx(want, abs=1e-6)
+
+    def test_cv2_gray_bit_exact(self, rng):
+        rgb = (rng.rand(96, 96, 3) * 255).astype(np.uint8)
+        want = cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
+        got = np.asarray(qc._cv2_gray(jnp.asarray(rgb)))
+        assert np.array_equal(got.astype(np.uint8), want)
+        assert np.array_equal(got, want.astype(np.float32))
+
+    def test_laplacian_rgb_matches_cv2_pipeline(self, rng):
+        rgb = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        gray = cv2.cvtColor(rgb[..., ::-1].copy(), cv2.COLOR_BGR2GRAY)
+        want = cv2.Laplacian(gray, cv2.CV_64F).var()  # build_dataset.py:1270
+        got = float(qc.laplacian_variance(jnp.asarray(rgb)))
+        assert got == pytest.approx(want, rel=1e-5)
