@@ -39,7 +39,7 @@ from adipose_tpu.eval.threshold import (
 )
 from adipose_tpu.eval.tta import make_tta_predict
 from adipose_tpu.models.unet import DilatedUNet
-from adipose_tpu.ops.metrics import auc_metrics, batched_pixel_metrics
+from adipose_tpu.ops.metrics import batched_auc_metrics, batched_pixel_metrics
 from adipose_tpu.train import checkpoint as ckpt
 from adipose_tpu.train.state import make_unet_predict
 
@@ -107,6 +107,25 @@ def build_output_dir(
     suffix = build_eval_config_string(cfg)
     name = f"{dataset_name}_{source}" + (f"_{suffix}" if suffix else "")
     return checkpoint_dir / "evaluation" / name
+
+
+def _boundary_metrics_all(preds: list, trues: list, threshold: float) -> list:
+    """Per-tile Hausdorff95/ASSD, thread-parallel for large tile sets.
+
+    scipy.ndimage's EDT (the metric's hot op, eval/boundary.py) releases the
+    GIL, so threads scale without the pickling cost of a process pool. Small
+    sets run serially — identical values either way."""
+    if len(preds) < 16:
+        return [calculate_boundary_metrics(p, t, threshold)
+                for p, t in zip(preds, trues)]
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        return list(ex.map(
+            lambda pt: calculate_boundary_metrics(pt[0], pt[1], threshold),
+            zip(preds, trues),
+        ))
 
 
 class PublicationEvaluator:
@@ -245,22 +264,27 @@ class PublicationEvaluator:
         else:
             threshold = cfg.threshold
 
-        # Per-tile metrics: device-batched confusion + AUC, host boundary
+        # Per-tile metrics: device-batched confusion + AUC (chunked vmap —
+        # the reference computes these one tile at a time,
+        # full_evaluation_enhanced.py:847-888), boundary on host threads
+        # (scipy's EDT releases the GIL).
         pred_arr = jnp.asarray(np.stack(preds))
         true_arr = jnp.asarray(np.stack(trues))
         pm = batched_pixel_metrics(pred_arr, true_arr, threshold)
         pm = {k: np.asarray(v) for k, v in pm.items()}
+        am = batched_auc_metrics(pred_arr, true_arr)
+        bms = _boundary_metrics_all(preds, trues, threshold)
         tile_rows = []
         for i, path in enumerate(tile_paths):
-            am = {k: float(v) for k, v in auc_metrics(pred_arr[i], true_arr[i]).items()}
-            bm = calculate_boundary_metrics(preds[i], trues[i], threshold)
             tile_rows.append({
                 "tile": Path(path).name,
                 "slide_id": extract_slide_id(path),
                 **{k: float(pm[k][i]) for k in (
                     "dice_score", "jaccard_index", "sensitivity", "specificity",
                     "precision", "f1_score", "accuracy")},
-                **am, **bm,
+                "roc_auc": float(am["roc_auc"][i]),
+                "pr_auc": float(am["pr_auc"][i]),
+                **bms[i],
             })
 
         # Slide-level aggregation (:1629-1727): mean of tile metrics per slide,

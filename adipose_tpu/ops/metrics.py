@@ -191,6 +191,33 @@ def auc_metrics(pred, true) -> dict:
     return {"roc_auc": roc_auc(pred, true), "pr_auc": pr_auc(pred, true)}
 
 
+_auc_pair_vmapped = jax.jit(
+    jax.vmap(lambda p, t: (roc_auc(p, t), pr_auc(p, t)))
+)
+
+
+def batched_auc_metrics(pred: jax.Array, true: jax.Array, chunk: int = 16) -> dict:
+    """Per-tile ROC/PR AUC over an (N, H, W) stack, vmapped in fixed-size
+    chunks (padded so only ONE program compiles) — replaces the evaluator's
+    per-tile dispatch loop (~1.5 ms/call on the tunneled v5e ×2 programs/tile).
+    Returns ``{"roc_auc": (N,), "pr_auc": (N,)}`` numpy arrays, values
+    identical to per-tile :func:`auc_metrics`."""
+    import numpy as np
+
+    n = pred.shape[0]
+    rocs, prs = [], []
+    for s in range(0, n, chunk):
+        p, t = pred[s : s + chunk], true[s : s + chunk]
+        k = p.shape[0]
+        if k < chunk:  # pad to the compiled batch shape
+            p = jnp.concatenate([p, jnp.repeat(p[-1:], chunk - k, axis=0)])
+            t = jnp.concatenate([t, jnp.repeat(t[-1:], chunk - k, axis=0)])
+        r, a = _auc_pair_vmapped(p, t)
+        rocs.append(np.asarray(r)[:k])
+        prs.append(np.asarray(a)[:k])
+    return {"roc_auc": np.concatenate(rocs), "pr_auc": np.concatenate(prs)}
+
+
 # ---- Classifier metrics -----------------------------------------------------
 
 

@@ -113,3 +113,21 @@ batched_zscore_to_target = jax.jit(jax.vmap(zscore_to_target, in_axes=(0, None, 
 @partial(jax.jit, static_argnames=())
 def batched_zscore_dataset(batch: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
     return zscore_dataset(batch, mean, std)
+
+
+def batched_percentile_unit_fast(images: jax.Array, p_low: float = 1.0,
+                                 p_high: float = 99.0) -> jax.Array:
+    """Per-tile percentile stretch to [0, 1] for (B, H, W) batches, fast path.
+
+    On TPU the exact 256-bin-CDF Pallas kernel replaces the per-tile
+    ~1M-element sort (measured 364 → 79 ms per 128×1024² batch on v5e) —
+    bit-identical to ``jnp.percentile`` for u8-origin integer data; fractional
+    inputs (e.g. post-augmentation floats) round to the nearest bin first
+    (PARITY.md §Known deviations). Elsewhere, the float sort path
+    (``src/utils/stain_normalization.py:379-407`` semantics).
+    """
+    if images.ndim == 3 and jax.default_backend() == "tpu":
+        from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
+
+        return percentile_normalize_u8(jnp.round(images), p_low, p_high)
+    return batched_percentile_unit(images, p_low, p_high)

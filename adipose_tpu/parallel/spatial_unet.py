@@ -69,8 +69,20 @@ def spatial_unet_predict(params, images, mesh: Mesh, *,
 
     H must be divisible by 8·mesh.shape[axis_name] (three pools shard-local).
     Parameters are the ordinary ``model.init``/checkpoint tree, replicated.
+
+    Deep-supervision checkpoints are rejected: this forward produces only the
+    main head (inference never uses the aux outputs), and silently ignoring
+    ``aux_out*`` params would hide a checkpoint/config mismatch. Also implies
+    ``fast_head`` semantics — identical outputs either way (models/unet.py).
     """
     p = params["params"]
+    aux = sorted(k for k in p if k.startswith("aux_out"))
+    if aux:
+        raise ValueError(
+            f"spatial_unet_predict does not support deep-supervision "
+            f"checkpoints (found {aux}); run the aux-head forward via "
+            f"model.apply, or drop the aux heads from the param tree "
+            f"explicitly if only main_out is wanted")
     dt = compute_dtype
 
     def kb(*path):

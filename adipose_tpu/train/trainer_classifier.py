@@ -78,24 +78,12 @@ def compute_image_level_class_weights(
 
 
 def _percentile_norm_255(imgs, p_low: float, p_high: float):
-    """Per-image percentile stretch back to [0, 255].
+    """Per-image percentile stretch back to [0, 255] — the shared TPU-fast
+    dispatcher (:func:`adipose_tpu.ops.normalize.batched_percentile_unit_fast`:
+    exact u8-CDF Pallas kernel on TPU, float sort elsewhere/for RGB)."""
+    from adipose_tpu.ops.normalize import batched_percentile_unit_fast
 
-    On TPU, u8-origin (B, H, W) batches use the exact 256-bin-CDF Pallas
-    kernel instead of a per-image 1M-element sort (364 → 79 ms per 128-batch
-    at 1024² on v5e); fractional inputs round to the nearest bin first
-    (PARITY.md §Known deviations). Elsewhere (and for RGB), the exact float
-    sort path."""
-    if imgs.ndim == 3 and jax.default_backend() == "tpu":
-        from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
-
-        return percentile_normalize_u8(jnp.round(imgs), p_low, p_high) * 255.0
-    return jax.vmap(
-        lambda im: jnp.clip(
-            (im - jnp.percentile(im, p_low))
-            / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-            0.0, 1.0,
-        ) * 255.0
-    )(imgs)
+    return batched_percentile_unit_fast(imgs, p_low, p_high) * 255.0
 
 
 def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
@@ -250,6 +238,21 @@ class ClassifierTrainer:
         )
         if self.pretrained_weights:
             variables = self._load_pretrained(variables, self.pretrained_weights)
+        else:
+            # The reference classifier is TRANSFER LEARNING from Keras
+            # InceptionV3(weights='imagenet') (train_adipose_classifier_v0.py:
+            # 312-319); its two-phase freeze schedule assumes that init. No
+            # ImageNet weights ship with this environment, so without
+            # --pretrained-weights (Keras ImageNet H5 or a compatible orbax
+            # checkpoint) training starts from RANDOM init and will not
+            # reproduce the reference's accuracy.
+            print(
+                "[classifier] WARNING: no --pretrained-weights given — "
+                "backbone starts from RANDOM init, NOT the reference's "
+                "ImageNet transfer learning (train_adipose_classifier_v0.py:"
+                "312-319). Supply the Keras InceptionV3 ImageNet "
+                ".h5 via --pretrained-weights to reproduce the reference."
+            )
         return replicate(self.mesh, variables)
 
     @staticmethod

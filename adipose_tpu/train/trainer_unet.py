@@ -31,7 +31,7 @@ from adipose_tpu.data.augment import TIERS, augment_batch
 from adipose_tpu.data.loader import TileDataset
 from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
 from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
-from adipose_tpu.ops.normalize import batched_percentile_unit
+from adipose_tpu.ops.normalize import batched_percentile_unit_fast
 from adipose_tpu.parallel.mesh import (
     make_mesh_for_batch,
     make_mesh_spatial,
@@ -88,11 +88,8 @@ def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
             drop_key = rng
         if norm_method == "zscore":
             images = (images - mean) / (std + 1e-10)
-        else:  # per-tile percentile (TileDataset :589-592)
-            images = jax.vmap(lambda im: jnp.clip(
-                (im - jnp.percentile(im, p_low))
-                / jnp.maximum(jnp.percentile(im, p_high) - jnp.percentile(im, p_low), 1e-3),
-                0.0, 1.0))(images)
+        else:  # per-tile percentile (TileDataset :589-592); u8-CDF kernel on TPU
+            images = batched_percentile_unit_fast(images, p_low, p_high)
 
         def compute(params):
             out = model.apply(params, images, train=True, rngs={"dropout": drop_key})
@@ -131,7 +128,7 @@ def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float
         if norm_method == "zscore":
             images = (images - mean) / (std + 1e-10)
         else:
-            images = batched_percentile_unit(images, p_low, p_high)
+            images = batched_percentile_unit_fast(images, p_low, p_high)
         out = model.apply(params, images, train=False)
         main = out["main_out"] if isinstance(out, dict) else out
         from adipose_tpu.ops.metrics import activation_stats
@@ -263,7 +260,10 @@ class UNetTrainer:
         mean = jnp.float32(self.mean)
         std = jnp.float32(self.std)
         best_dice = -np.inf
-        best_params = state.params
+        # host-owned snapshot: state.params is donated by the first train step,
+        # so an epochs=0 phase (or one that never improves) must not return the
+        # live (soon-deleted) buffers
+        best_params = jax.device_get(state.params)
 
         # Preemption recovery: resume mid-phase from the rolling 'latest'
         # checkpoint (orbax params + progress metadata). The reference has no

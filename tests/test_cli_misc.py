@@ -144,6 +144,106 @@ class TestTFImport:
                 matched += 1
         assert matched >= len(expected) * 0.9  # every conv mapped
 
+    def test_unet_import_keras3_nested_layout(self, tmp_path):
+        """Keras-3 ``.weights.h5`` layout: ``layers/<name>/vars/{0,1}``
+        (kernel, bias by creation order) — the other branch of
+        ``_find_layer_arrays``."""
+        import h5py
+
+        import flax
+        from adipose_tpu.models.tf_import import import_unet_weights
+        from adipose_tpu.models.unet import DilatedUNet
+
+        model = DilatedUNet(init_nb=4, compute_dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32)))
+        flat = flax.traverse_util.flatten_dict(variables["params"])
+        layers = {}
+        for path, leaf in flat.items():
+            layer = next(s for s in path if not s.startswith("_"))
+            layers.setdefault(layer, {})[path[-1]] = path
+        h5_path = tmp_path / "w3.weights.h5"
+        rng = np.random.RandomState(3)
+        expected = {}
+        with h5py.File(h5_path, "w") as f:
+            g = f.create_group("_layer_checkpoint_dependencies")
+            for layer, parts in layers.items():
+                lg = g.require_group(layer).require_group("vars")
+                k = rng.randn(*flat[parts["kernel"]].shape).astype(np.float32)
+                b = rng.randn(*flat[parts["bias"]].shape).astype(np.float32)
+                lg.create_dataset("0", data=k)
+                lg.create_dataset("1", data=b)
+                expected[parts["kernel"]] = k
+                expected[parts["bias"]] = b
+        imported = import_unet_weights(h5_path, variables)
+        got = flax.traverse_util.flatten_dict(imported["params"])
+        for path, arr in expected.items():
+            assert np.array_equal(np.asarray(got[path]), arr), path
+
+    @pytest.mark.parametrize("layout", ["keras2", "keras3"])
+    def test_inception_import_roundtrip(self, tmp_path, layout):
+        """Synthetic Keras-layout InceptionV3 weights round-trip: conv kernels,
+        BN beta→params.bias, BN moving stats→batch_stats mean/var (Keras var
+        creation order beta, moving_mean, moving_variance — scale=False), and
+        the adipose_score head (train_adipose_classifier_v0.py:312-353)."""
+        import h5py
+
+        import flax
+        from adipose_tpu.models import InceptionV3Classifier
+        from adipose_tpu.models.tf_import import import_inception_weights
+
+        model = InceptionV3Classifier(dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+        params = flax.traverse_util.flatten_dict(variables["params"])
+        rng = np.random.RandomState(1)
+        h5_path = tmp_path / "inception.weights.h5"
+        expected_p, expected_s = {}, {}
+
+        def put(group, keras_name, datasets):  # datasets: [(k2name, arr), ...]
+            if layout == "keras2":
+                lg = group.require_group(keras_name).require_group(keras_name)
+                for name, arr in datasets:
+                    lg.create_dataset(name, data=arr)
+            else:  # keras-3: layers/<name>/vars/{0..}, creation order
+                lg = group.require_group(keras_name).require_group("vars")
+                for j, (_, arr) in enumerate(datasets):
+                    lg.create_dataset(str(j), data=arr)
+
+        with h5py.File(h5_path, "w") as f:
+            g = f.create_group("model_weights" if layout == "keras2" else "layers")
+            n_convs = len({p[1] for p in params
+                           if p[0] == "backbone" and p[1].startswith("cbn_")})
+            assert n_convs == 94
+            for i in range(n_convs):
+                cname = "conv2d" if i == 0 else f"conv2d_{i}"
+                bname = ("batch_normalization" if i == 0
+                         else f"batch_normalization_{i}")
+                kkey = ("backbone", f"cbn_{i}", "conv", "kernel")
+                k = rng.randn(*params[kkey].shape).astype(np.float32)
+                put(g, cname, [("kernel:0", k)])
+                expected_p[kkey] = k
+                c = params[kkey].shape[-1]
+                beta = rng.randn(c).astype(np.float32)
+                mean = rng.randn(c).astype(np.float32)
+                var = (rng.rand(c) + 0.5).astype(np.float32)
+                put(g, bname, [("beta:0", beta), ("moving_mean:0", mean),
+                               ("moving_variance:0", var)])
+                expected_p[("backbone", f"cbn_{i}", "bn", "bias")] = beta
+                expected_s[("backbone", f"cbn_{i}", "bn", "mean")] = mean
+                expected_s[("backbone", f"cbn_{i}", "bn", "var")] = var
+            hk = rng.randn(*params[("adipose_score", "kernel")].shape).astype(np.float32)
+            hb = rng.randn(*params[("adipose_score", "bias")].shape).astype(np.float32)
+            put(g, "adipose_score", [("kernel:0", hk), ("bias:0", hb)])
+            expected_p[("adipose_score", "kernel")] = hk
+            expected_p[("adipose_score", "bias")] = hb
+
+        out = import_inception_weights(h5_path, variables, strict=True)
+        got_p = flax.traverse_util.flatten_dict(out["params"])
+        got_s = flax.traverse_util.flatten_dict(out["batch_stats"])
+        for key, want in expected_p.items():
+            assert np.array_equal(np.asarray(got_p[key]), want), key
+        for key, want in expected_s.items():
+            assert np.array_equal(np.asarray(got_s[key]), want), key
+
     def test_import_shape_mismatch_raises(self, tmp_path):
         import h5py
 

@@ -100,3 +100,21 @@ def test_classifier_metrics(rng):
     pb = probs > 0.5
     assert float(m["acc"]) == pytest.approx(np.mean(pb == labels.astype(bool)), abs=1e-5)
     assert float(m["auc"]) == pytest.approx(roc_auc_score(labels.astype(int), probs), abs=1e-5)
+
+
+def test_batched_auc_matches_per_tile(rng):
+    """Chunked vmapped AUC == per-tile auc_metrics, incl. the padded last
+    chunk and NaN single-class tiles."""
+    n = 7  # not divisible by chunk -> exercises padding
+    preds = rng.rand(n, 24, 24).astype(np.float32)
+    trues = (rng.rand(n, 24, 24) > 0.6).astype(np.float32)
+    trues[3] = 0.0  # single-class tile -> NaN AUCs
+    got = metrics.batched_auc_metrics(jnp.asarray(preds), jnp.asarray(trues), chunk=4)
+    for i in range(n):
+        want = metrics.auc_metrics(jnp.asarray(preds[i]), jnp.asarray(trues[i]))
+        for k in ("roc_auc", "pr_auc"):
+            w = float(want[k])
+            if np.isnan(w):
+                assert np.isnan(got[k][i])
+            else:
+                assert got[k][i] == pytest.approx(w, abs=1e-6)

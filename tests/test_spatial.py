@@ -85,3 +85,16 @@ class TestSpatialUNet:
         # bf16 rounding differs only through reduction-order changes at the
         # gather/slice boundaries; outputs are probabilities in [0,1]
         assert np.abs(np.asarray(got) - np.asarray(want)).max() < 5e-3
+
+    def test_rejects_deep_supervision_checkpoint(self, mesh, rng):
+        """Aux-head params must raise, not be silently ignored."""
+        from adipose_tpu.core.seeding import key_for
+        from adipose_tpu.models.unet import DilatedUNet
+        from adipose_tpu.parallel.spatial_unet import spatial_unet_predict
+
+        model = DilatedUNet(init_nb=4, compute_dtype=jnp.float32,
+                            use_deep_supervision=True)
+        x = jnp.asarray(rng.rand(1, 128, 64).astype(np.float32))
+        params = model.init(key_for("spatial.ds"), x)
+        with pytest.raises(ValueError, match="deep-supervision"):
+            spatial_unet_predict(params, x, mesh, compute_dtype=jnp.float32)

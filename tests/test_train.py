@@ -216,6 +216,44 @@ class TestEndToEndTraining:
         assert 0.0 <= h0["val_act_mean"] <= 1.0
 
 
+class TestPhaseSnapshotOwnership:
+    def test_nan_val_phase_returns_host_params(self, tiny_dataset, monkeypatch):
+        """A phase whose val dice never improves (NaN every epoch) must still
+        return live, host-owned params — the initial best_params snapshot must
+        not alias the state donated to the first train step."""
+        import jax
+        import jax.numpy as jnp
+
+        import adipose_tpu.train.trainer_unet as tu
+        from adipose_tpu.train.trainer_unet import UNetTrainer
+
+        real = tu._make_val_step
+
+        def nan_val_step(*a, **k):
+            step = real(*a, **k)
+
+            def wrapped(params, imgs, masks, mean, std):
+                out = dict(step(params, imgs, masks, mean, std))
+                out["dice_coef"] = jnp.float32(jnp.nan)
+                return out
+
+            return wrapped
+
+        monkeypatch.setattr(tu, "_make_val_step", nan_val_step)
+        cfg = TrainConfig(batch_size=4, augment_level="none", use_ema=False)
+        mcfg = UNetConfig(tile_size=64, init_nb=4, compute_dtype="float32")
+        trainer = UNetTrainer(tiny_dataset, cfg, mcfg,
+                              checkpoint_root=tiny_dataset / "ck_nan")
+        best, dice = trainer._run_phase(
+            1, trainer.init_params(), epochs=1, lr=1e-3, min_lr=1e-5,
+            ema_decay=0.999, freeze_encoder=False, save_ema=False,
+            augment_tier="none",
+        )
+        assert dice == -np.inf  # never improved
+        for leaf in jax.tree.leaves(best):
+            np.asarray(leaf)  # raises on donated/deleted buffers
+
+
 class TestPretrainedMerge:
     def test_by_name_merge_skips_mismatches(self, tiny_dataset, tmp_path):
         """--pretrained-weights: matching leaves copied, mismatched/extra kept
