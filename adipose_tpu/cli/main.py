@@ -765,7 +765,20 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--contrast-groups", action="store_true",
                     help="quality grouping → adaptive-CLAHE cutoffs "
                          "(image_quality_analysis.csv + generated function)")
-    an.add_argument("--n-samples", type=int, default=10)
+    an.add_argument("--compare-normalization", metavar="MODE",
+                    choices=["clahe-percentile", "normalization-methods",
+                             "requested-methods", "final-methods",
+                             "very-final", "all"],
+                    help="one reference compare_*.py suite (panels + metrics "
+                         "CSV + summary md); 'all' runs every mode")
+    an.add_argument("--comprehensive-normalization", action="store_true",
+                    help="dataset-wide 4-method quality scoring → "
+                         "dataset_normalization_metrics.csv + dashboard")
+    an.add_argument("--adipocyte-dir", default=None,
+                    help="adipocyte reference tiles for similarity scoring "
+                         "(comprehensive mode)")
+    an.add_argument("--n-samples", "--samples-per-split", dest="n_samples",
+                    type=int, default=10)
     an.add_argument("--n-per-split", type=int, default=2,
                     help="contrast-group samples per train/val/test split")
     an.add_argument("--max-tiles", type=int, default=None)
@@ -1831,7 +1844,8 @@ def cmd_analyze_tiles(args):
     )
 
     if not (args.census or args.compare_preprocessing or args.morphology
-            or args.contrast_groups):
+            or args.contrast_groups or args.compare_normalization
+            or args.comprehensive_normalization):
         args.census = True
     if args.census:
         summary = tile_quality_census(args.tiles_dir, args.output_dir,
@@ -1849,6 +1863,27 @@ def cmd_analyze_tiles(args):
         summary = contrast_group_census(args.tiles_dir, args.output_dir,
                                         n_per_split=args.n_per_split)
         print(json.dumps(summary, indent=2))
+    if args.compare_normalization:
+        from adipose_tpu.data.analysis import (
+            NORM_COMPARISON_MODES,
+            normalization_comparison,
+        )
+
+        modes = (sorted(NORM_COMPARISON_MODES)
+                 if args.compare_normalization == "all"
+                 else [args.compare_normalization])
+        for mode in modes:
+            out = normalization_comparison(args.tiles_dir, args.output_dir,
+                                           mode, n_samples=args.n_per_split)
+            print(json.dumps(out, indent=2))
+    if args.comprehensive_normalization:
+        from adipose_tpu.data.analysis import comprehensive_normalization_analysis
+
+        out = comprehensive_normalization_analysis(
+            args.tiles_dir, args.output_dir,
+            n_per_split=args.n_samples, adipocyte_dir=args.adipocyte_dir,
+        )
+        print(json.dumps(out, indent=2))
 
 
 def cmd_visualize_preprocessing(args):
@@ -1950,6 +1985,19 @@ COMMANDS = {
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS env var: some deployments preload a TPU
+    # plugin via sitecustomize and force jax_platforms at interpreter start,
+    # which silently overrides the env var — `JAX_PLATFORMS=cpu adipose ...`
+    # must still run on CPU (and not hang when the accelerator is down).
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except RuntimeError:
+            pass  # backends already initialized; too late to redirect
     args = build_parser().parse_args(argv)
     COMMANDS[args.command](args)
     return 0

@@ -676,3 +676,342 @@ def _plot_pipeline_stages(tiles_data, output_dir: Path, version: str) -> Path:
     fig.savefig(out, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Normalization-method comparison suites — one named mode per reference script
+# in ``analysis/contrast_and_normalization_analysis/`` (same method grids,
+# per-sample comparison panels, metrics CSV, and summary markdown).
+# ---------------------------------------------------------------------------
+
+_Z_MEAN, _Z_STD = 200.99, 25.26  # dataset stats (stain_normalization.py:348)
+
+#: mode → [(title, clahe (clip, grid) | "zscore" | None, percentile | None)].
+#: Grids transcribed from the reference scripts (cited per mode).
+NORM_COMPARISON_MODES = {
+    # compare_clahe_percentile.py:48-90
+    "clahe-percentile": (
+        ("Original", None, None),
+        ("CLAHE Only", (2.0, 8), None),
+        ("Percentile (0.5-99.5)", None, (0.5, 99.5)),
+        ("CLAHE + Percentile (0.5-99.5)", (2.0, 8), (0.5, 99.5)),
+        ("Percentile (0.2-99.8)", None, (0.2, 99.8)),
+        ("CLAHE + Percentile (0.2-99.8)", (2.0, 8), (0.2, 99.8)),
+    ),
+    # compare_normalization_methods.py:107-150
+    "normalization-methods": (
+        ("Original", None, None),
+        ("CLAHE Only", (2.0, 8), None),
+        ("Percentile Only (1-99)", None, (1.0, 99.0)),
+        ("CLAHE + Percentile (Aggressive)", (2.0, 8), (1.0, 99.0)),
+        ("Gentle Percentile (10-90)", None, (10.0, 90.0)),
+        ("Light CLAHE + Wider Percentile", (1.2, 16), (5.0, 95.0)),
+    ),
+    # compare_requested_methods.py:52-95
+    "requested-methods": (
+        ("Current Z-score", "zscore", None),
+        ("Percentile (0.01-99.99)", None, (0.01, 99.99)),
+        ("Mild CLAHE + Percentile (0.01-99.99)", (1.5, 12), (0.01, 99.99)),
+        ("Percentile (0.05-99.95)", None, (0.05, 99.95)),
+        ("Mild CLAHE + Percentile (0.05-99.95)", (1.5, 12), (0.05, 99.95)),
+        ("Mild CLAHE + Percentile (0.001-99.999)", (1.5, 12), (0.001, 99.999)),
+    ),
+    # compare_final_methods.py:47-90
+    "final-methods": (
+        ("Original", None, None),
+        ("CLAHE", (2.0, 8), None),
+        ("Percentile (0.1-99.9)", None, (0.1, 99.9)),
+        ("Mild CLAHE", (1.5, 12), None),
+        ("Percentile (0.05-99.95)", None, (0.05, 99.95)),
+        ("Mild CLAHE + Percentile (0.05-99.95)", (1.5, 12), (0.05, 99.95)),
+    ),
+    # compare_very_final.py:47-86
+    "very-final": (
+        ("Original", None, None),
+        ("CLAHE", (2.0, 8), None),
+        ("Mild CLAHE", (1.5, 12), None),
+        ("Mild CLAHE + Percentile (0.05-99.95)", (1.5, 12), (0.05, 99.95)),
+        ("Mild CLAHE + Percentile (0.01-99.99)", (1.5, 12), (0.01, 99.99)),
+    ),
+}
+
+#: reference output-file suffix per mode (``{sample}_{suffix}.png``)
+_MODE_SUFFIX = {
+    "clahe-percentile": "clahe_percentile_comparison",
+    "normalization-methods": "normalization_comparison_updated",
+    "requested-methods": "requested_comparison",
+    "final-methods": "final_comparison",
+    "very-final": "very_final_comparison",
+}
+
+
+def _clahe_255(x: jnp.ndarray, clip: float, grid: int) -> jnp.ndarray:
+    """Device CLAHE on a [0,255] image of any shape (reflect-pad to grid)."""
+    h, w = x.shape
+    ph, pw = (-h) % grid, (-w) % grid
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
+    return clahe(x, clip_limit=clip, tile_grid=grid)[:h, :w]
+
+
+def apply_norm_method(img: np.ndarray, clahe_spec, perc) -> np.ndarray:
+    """One comparison-grid method on a [0,255] grayscale image (device-side).
+
+    Returns [0,1] floats for percentile methods, [0,1]-scaled for plain
+    CLAHE/original panels, raw z-scores for the "zscore" method — matching the
+    value ranges the reference scripts pass to their plots."""
+    x = jnp.asarray(img, jnp.float32)
+    if clahe_spec == "zscore":  # compare_requested_methods.py:40-43
+        return np.asarray((x - _Z_MEAN) / (_Z_STD + 1e-10))
+    if clahe_spec is not None:
+        clip, grid = clahe_spec
+        x = _clahe_255(x, clip, grid)
+    if perc is not None:
+        lo, hi = jnp.percentile(x, jnp.asarray(perc, jnp.float32))
+        return np.asarray(jnp.clip((x - lo) / jnp.maximum(hi - lo, 1e-3), 0, 1))
+    return np.asarray(x / 255.0)
+
+
+def _comparison_samples(tiles_dir: Path, n_samples: int) -> list:
+    """(name, image) samples; dataset/{split}/images layouts yield the
+    reference's ``{split}_sample{i}`` naming, flat dirs use file stems."""
+    out = []
+    splits = _census_splits(tiles_dir)
+    for split, d in splits.items():
+        files = _tile_files(d)[:n_samples]
+        for i, f in enumerate(files):
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            name = f"{split}_sample{i + 1}" if split != "all" else f.stem
+            out.append((name, img.astype(np.float32)))
+    return out
+
+
+def normalization_comparison(
+    tiles_dir: str | Path,
+    output_dir: str | Path,
+    mode: str,
+    n_samples: int = 2,
+) -> dict:
+    """One reference ``compare_*.py`` suite: per-sample image+histogram panels
+    for the mode's method grid, a per-method metrics CSV, and a summary
+    markdown — artifact set matching the reference script of the same mode."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    if mode not in NORM_COMPARISON_MODES:
+        raise ValueError(f"unknown mode {mode!r}; choose from "
+                         f"{sorted(NORM_COMPARISON_MODES)}")
+    methods = NORM_COMPARISON_MODES[mode]
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    samples = _comparison_samples(Path(tiles_dir), n_samples)
+    rows = []
+    for name, img in samples:
+        outs = [(t, apply_norm_method(img, c, p)) for t, c, p in methods]
+        fig = plt.figure(figsize=(4 * len(methods), 8))
+        for idx, (title, arr) in enumerate(outs):
+            ax = fig.add_subplot(2, len(methods), idx + 1)
+            disp = arr
+            if "Z-score" in title:  # display-normalize (ref :115-118)
+                disp = (arr - arr.min()) / (arr.max() - arr.min() + 1e-6)
+            ax.imshow(disp, cmap="gray", vmin=0, vmax=1)
+            ax.set_title(title, fontsize=11, weight="bold")
+            ax.axis("off")
+            hx = fig.add_subplot(2, len(methods), len(methods) + idx + 1)
+            hx.hist(arr.ravel(), bins=50, alpha=0.8, color="lightblue",
+                    edgecolor="black")
+            hx.set_title("Histogram", fontsize=9)
+            hx.grid(True, alpha=0.3)
+            rows.append({
+                "sample": name, "method": title,
+                "mean": float(arr.mean()), "std": float(arr.std()),
+                "min": float(arr.min()), "max": float(arr.max()),
+                "sharpness": float(cv2.Laplacian(
+                    np.clip(disp * 255, 0, 255).astype(np.uint8),
+                    cv2.CV_64F).var()),
+                "entropy": shannon_entropy(
+                    np.clip(disp * 255, 0, 255).astype(np.uint8)),
+            })
+        fig.suptitle(f"{mode} methods comparison — {name}", fontsize=14)
+        fig.tight_layout(rect=[0, 0, 1, 0.96])
+        fig.savefig(output_dir / f"{name}_{_MODE_SUFFIX[mode]}.png", dpi=120)
+        plt.close(fig)
+
+    df = pd.DataFrame(rows)
+    csv_path = output_dir / f"{mode.replace('-', '_')}_metrics.csv"
+    df.to_csv(csv_path, index=False)
+    md = [f"# {mode} comparison summary", "",
+          f"Samples: {len(samples)}; methods: {len(methods)}", "",
+          "| method | mean | std | sharpness | entropy |", "|---|---|---|---|---|"]
+    if len(df):
+        for title, g in df.groupby("method", sort=False):
+            md.append(f"| {title} | {g['mean'].mean():.3f} | "
+                      f"{g['std'].mean():.3f} | {g['sharpness'].mean():.1f} | "
+                      f"{g['entropy'].mean():.2f} |")
+    summary_path = output_dir / f"{mode.upper().replace('-', '_')}_COMPARISON_SUMMARY.md"
+    summary_path.write_text("\n".join(md) + "\n")
+    return {"mode": mode, "n_samples": len(samples),
+            "csv": str(csv_path), "summary": str(summary_path)}
+
+
+# --- comprehensive dataset-wide normalization analysis ----------------------
+# (comprehensive_normalization_analysis.py: 4 methods × sampled tiles →
+#  dataset_normalization_metrics.csv + dashboard PNG + report; optional
+#  adipocyte-reference similarity scoring)
+
+_COMPREHENSIVE_METHODS = {
+    "current_zscore": ("zscore", None),
+    "clahe_percentile": ((2.0, 8), (0.01, 99.99)),
+    "mild_clahe_percentile": ((1.5, 12), (0.01, 99.99)),
+    "percentile_only": (None, (0.01, 99.99)),
+}
+
+_QUALITY_METRICS = ("contrast_ratio", "laplacian_variance", "entropy",
+                    "edge_density", "dynamic_range",
+                    "local_contrast_consistency")
+
+
+@jax.jit
+def _unit_quality_arrays(x: jnp.ndarray):
+    """Moments + 15×15 local-std spread + 256-bin [0,1] histogram on device."""
+    mean, std = jnp.mean(x), jnp.std(x)
+    dyn = jnp.max(x) - jnp.min(x)
+    local_mean = _box_mean(x, 15)
+    local_std = jnp.sqrt(jnp.maximum(_box_mean(x * x, 15) - local_mean**2, 0.0))
+    hist = jnp.histogram(x, bins=256, range=(0.0, 1.0))[0].astype(jnp.float32)
+    return mean, std, dyn, jnp.std(local_std), hist
+
+
+def comprehensive_metrics(img: np.ndarray, method_name: str = "") -> dict:
+    """The 8 segmentation-oriented quality metrics of
+    ``comprehensive_normalization_analysis.py:27-76`` ([0,1]-scaled input;
+    >1.1 max is treated as [0,255] and rescaled, like the reference)."""
+    x = np.asarray(img, np.float32)
+    if x.max() > 1.1:
+        x = x / 255.0
+    mean, std, dyn, std_lstd, hist = (
+        np.asarray(v) for v in _unit_quality_arrays(jnp.asarray(x)))
+    u8 = np.clip(x * 255, 0, 255).astype(np.uint8)
+    lap = float(cv2.Laplacian(u8, cv2.CV_64F).var())
+    edges = cv2.Canny(u8, 50, 150)
+    p = hist / (hist.sum() + 1e-10)
+    entropy = float(-np.sum(p * np.log2(p + 1e-10)))
+    return {
+        "method": method_name,
+        "mean_intensity": float(mean),
+        "std_intensity": float(std),
+        "contrast_ratio": float(std) / (float(mean) + 1e-6),
+        "laplacian_variance": lap,
+        "entropy": entropy,
+        "edge_density": float((edges > 0).sum()) / edges.size,
+        "dynamic_range": float(dyn),
+        "local_contrast_consistency": 1.0 / (float(std_lstd) + 1e-6),
+    }
+
+
+def comprehensive_normalization_analysis(
+    dataset_dir: str | Path,
+    output_dir: str | Path,
+    n_per_split: int = 100,
+    adipocyte_dir: str | Path | None = None,
+) -> dict:
+    """Dataset-wide method comparison: sample tiles per split, score each of
+    the four normalization methods with the 8 quality metrics, and (when an
+    adipocyte reference directory is given) Gaussian-similarity-score every
+    tile/method against the adipocyte standards
+    (``comprehensive_normalization_analysis.py:183-289``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(42)  # ref: random.seed(42) (:158)
+    rows = []
+    for split, d in _census_splits(Path(dataset_dir)).items():
+        files = _tile_files(d)
+        if len(files) > n_per_split:
+            files = [files[i] for i in
+                     sorted(rng.choice(len(files), n_per_split, replace=False))]
+        for f in files:
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            img = img.astype(np.float32)
+            for method, (cl, pc) in _COMPREHENSIVE_METHODS.items():
+                out = apply_norm_method(img, cl, pc)
+                m = comprehensive_metrics(out, method)
+                m.update({"filename": f.name, "split": split})
+                rows.append(m)
+    df = pd.DataFrame(rows)
+    df.to_csv(output_dir / "dataset_normalization_metrics.csv", index=False)
+
+    result = {"n_rows": len(df),
+              "csv": str(output_dir / "dataset_normalization_metrics.csv")}
+
+    adip_df = None
+    if adipocyte_dir is not None and Path(adipocyte_dir).is_dir():
+        arows = []
+        for f in _tile_files(Path(adipocyte_dir)):
+            img = cv2.imread(str(f), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            z = apply_norm_method(img.astype(np.float32), "zscore", None)
+            m = comprehensive_metrics(z, "adipocyte_reference")
+            m["filename"] = f.name
+            arows.append(m)
+        adip_df = pd.DataFrame(arows)
+        adip_df.to_csv(output_dir / "adipocyte_reference_metrics.csv", index=False)
+        if len(adip_df) and len(df):
+            stats = {k: (adip_df[k].mean(), adip_df[k].std())
+                     for k in _QUALITY_METRICS}
+            srows = []
+            for _, row in df.iterrows():
+                scores = {}
+                for k in _QUALITY_METRICS:
+                    zd = abs((row[k] - stats[k][0]) / (stats[k][1] + 1e-6))
+                    scores[f"{k}_similarity"] = float(np.exp(-zd / 2))
+                srows.append({"filename": row["filename"], "split": row["split"],
+                              "method": row["method"],
+                              "overall_similarity":
+                                  float(np.mean(list(scores.values()))),
+                              **scores})
+            sim_df = pd.DataFrame(srows)
+            sim_df.to_csv(output_dir / "similarity_to_adipocytes.csv", index=False)
+            result["similarity_csv"] = str(output_dir / "similarity_to_adipocytes.csv")
+
+    # dashboard: per-method distribution of each quality metric
+    if len(df):
+        fig, axes = plt.subplots(2, 3, figsize=(18, 10))
+        for ax, metric in zip(axes.ravel(), _QUALITY_METRICS):
+            data = [df[df["method"] == m][metric].dropna()
+                    for m in _COMPREHENSIVE_METHODS]
+            ax.boxplot(data, tick_labels=list(_COMPREHENSIVE_METHODS))
+            ax.set_title(metric)
+            ax.tick_params(axis="x", rotation=30)
+        fig.suptitle("Comprehensive normalization analysis")
+        fig.tight_layout(rect=[0, 0, 1, 0.96])
+        fig.savefig(output_dir / "comprehensive_normalization_analysis.png",
+                    dpi=120)
+        plt.close(fig)
+
+    md = ["# Comprehensive normalization report", "",
+          f"Tiles × methods scored: {len(df)}", "",
+          "| method | " + " | ".join(_QUALITY_METRICS) + " |",
+          "|---" * (len(_QUALITY_METRICS) + 1) + "|"]
+    if len(df):
+        for m, g in df.groupby("method", sort=False):
+            md.append("| " + m + " | " +
+                      " | ".join(f"{g[k].mean():.4g}" for k in _QUALITY_METRICS)
+                      + " |")
+    if adip_df is not None and len(adip_df):
+        md += ["", f"Adipocyte references scored: {len(adip_df)}"]
+    (output_dir / "COMPREHENSIVE_NORMALIZATION_REPORT.md").write_text(
+        "\n".join(md) + "\n")
+    result["report"] = str(output_dir / "COMPREHENSIVE_NORMALIZATION_REPORT.md")
+    return result

@@ -186,3 +186,81 @@ def test_adaptive_clahe_medium_branch(rng):
     assert out.shape == mid.shape
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
     assert float(out.max()) - float(out.min()) > 0.5  # stretched, not constant
+
+
+def test_normalization_comparison_modes(tmp_path, rng):
+    """Each compare_*.py suite has a named mode emitting the reference's
+    artifact set (per-sample panel PNG, metrics CSV, summary md)."""
+    from adipose_tpu.data.analysis import (
+        NORM_COMPARISON_MODES,
+        normalization_comparison,
+    )
+
+    d = _make_tiles(tmp_path, rng, n=3)
+    assert set(NORM_COMPARISON_MODES) == {
+        "clahe-percentile", "normalization-methods", "requested-methods",
+        "final-methods", "very-final"}
+    out = normalization_comparison(d, tmp_path / "nc", "clahe-percentile",
+                                   n_samples=1)
+    assert out["n_samples"] == 1
+    pngs = list((tmp_path / "nc").glob("*_clahe_percentile_comparison.png"))
+    assert len(pngs) == 1
+    assert (tmp_path / "nc" / "clahe_percentile_metrics.csv").exists()
+    assert (tmp_path / "nc" /
+            "CLAHE_PERCENTILE_COMPARISON_SUMMARY.md").exists()
+
+
+def test_apply_norm_method_oracles(rng):
+    """Percentile + z-score methods match the reference numpy formulas
+    (compare_clahe_percentile.py:41-46, compare_requested_methods.py:40-43)."""
+    from adipose_tpu.data.analysis import apply_norm_method
+
+    img = (rng.rand(64, 64) * 255).astype(np.float32)
+    got = apply_norm_method(img, None, (0.5, 99.5))
+    lo, hi = np.percentile(img, (0.5, 99.5))
+    want = np.clip((img - lo) / max(hi - lo, 1e-3), 0, 1)
+    assert np.abs(got - want).max() < 1e-4
+    z = apply_norm_method(img, "zscore", None)
+    assert np.abs(z - (img - 200.99) / (25.26 + 1e-10)).max() < 1e-4
+    orig = apply_norm_method(img, None, None)
+    assert np.abs(orig - img / 255.0).max() < 1e-6
+
+
+def test_comprehensive_normalization_analysis(tmp_path, rng):
+    from adipose_tpu.data.analysis import (
+        comprehensive_metrics,
+        comprehensive_normalization_analysis,
+    )
+
+    # metrics oracle vs the reference formulas (comprehensive_normalization_
+    # analysis.py:27-76) on a [0,1] image
+    img = rng.rand(48, 48).astype(np.float32)
+    m = comprehensive_metrics(img, "x")
+    assert m["mean_intensity"] == np.float32(img.mean())
+    u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+    assert m["laplacian_variance"] == cv2.Laplacian(u8, cv2.CV_64F).var()
+    edges = cv2.Canny(u8, 50, 150)
+    assert m["edge_density"] == (edges > 0).sum() / edges.size
+    hist, _ = np.histogram(img, bins=256, range=(0, 1))
+    p = hist / (hist.sum() + 1e-10)
+    assert abs(m["entropy"] - -(p * np.log2(p + 1e-10)).sum()) < 1e-3
+
+    d = _make_tiles(tmp_path, rng, n=3)
+    adip = tmp_path / "adip"
+    adip.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(adip / f"a{i}.jpg"),
+                    (rng.rand(48, 48) * 200).astype(np.uint8))
+    out = comprehensive_normalization_analysis(
+        d, tmp_path / "comp", n_per_split=2, adipocyte_dir=adip)
+    assert (tmp_path / "comp" / "dataset_normalization_metrics.csv").exists()
+    assert (tmp_path / "comp" / "adipocyte_reference_metrics.csv").exists()
+    assert (tmp_path / "comp" / "similarity_to_adipocytes.csv").exists()
+    assert (tmp_path / "comp" /
+            "comprehensive_normalization_analysis.png").exists()
+    assert (tmp_path / "comp" /
+            "COMPREHENSIVE_NORMALIZATION_REPORT.md").exists()
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "comp" / "dataset_normalization_metrics.csv")
+    assert set(df["method"]) == {"current_zscore", "clahe_percentile",
+                                 "mild_clahe_percentile", "percentile_only"}

@@ -36,6 +36,19 @@ SCRIPT_TO_COMMAND = {
     "pre-post-processing_tools/ECM_scaling.py": "scale-ecm",
     "pre-post-processing_tools/compare_pseudocolored_ecm_tiles.py": "compare-modalities",
     "pre-post-processing_tools/convert_tif_to_jpg.py": "tif2jpg",
+    # the six normalization-comparison analyses are analyze-tiles modes
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "compare_clahe_percentile.py": "analyze-tiles",
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "compare_final_methods.py": "analyze-tiles",
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "compare_normalization_methods.py": "analyze-tiles",
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "compare_requested_methods.py": "analyze-tiles",
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "compare_very_final.py": "analyze-tiles",
+    "pre-post-processing_tools/analysis/contrast_and_normalization_analysis/"
+    "comprehensive_normalization_analysis.py": "analyze-tiles",
 }
 
 
