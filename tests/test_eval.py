@@ -270,3 +270,15 @@ class TestEvaluator:
         assert results["optimal_threshold"] == 0.5
         out = build_output_dir(ckpt_dir, data, cfg)
         assert out.name == "test_original_tta_minimal_sw_gaussian"
+
+
+def test_boundary_metrics_threaded_matches_serial(rng):
+    """The thread-pool path (≥16 tiles) returns per-tile values identical to
+    the serial loop."""
+    from adipose_tpu.eval.evaluator import _boundary_metrics_all
+
+    preds = [rng.rand(32, 32).astype(np.float32) for _ in range(18)]
+    trues = [(rng.rand(32, 32) > 0.6).astype(np.float32) for _ in range(18)]
+    got = _boundary_metrics_all(preds, trues, 0.5)
+    want = [calculate_boundary_metrics(p, t, 0.5) for p, t in zip(preds, trues)]
+    assert got == want
