@@ -1277,27 +1277,34 @@ def cmd_segment(args):
     )
     import time as _time
 
+    from adipose_tpu.core.hostio import thread_map
+
+    def write_outputs(item):
+        p, img, pred = item
+        mask = (pred > args.threshold).astype(np.uint8)
+        cv2.imwrite(str(masks_dir / f"{p.stem}_mask.tif"), mask)
+        if args.save_probability:
+            cv2.imwrite(str(out_dir / "probability_maps" / f"{p.stem}_prob.tif"),
+                        (np.clip(pred, 0, 1) * 255).astype(np.uint8))
+        if args.save_overlays:
+            from adipose_tpu.eval.visualize import color_overlay
+
+            ov = color_overlay(img, mask, overlay_rgb, alpha=0.4)
+            cv2.imwrite(str(out_dir / "overlays" / f"{p.stem}_overlay.png"),
+                        cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
+
     for i in range(0, len(files), args.batch_size):
         chunk = files[i : i + args.batch_size]
-        batch = np.stack([read_image_gray(str(p)) for p in chunk])
+        # codec work (decode here, encode below) is thread-parallel: cv2
+        # releases the GIL, and the device step runs between the two phases
+        batch = np.stack(thread_map(lambda p: read_image_gray(str(p)), chunk))
         n = batch.shape[0]
         if n < args.batch_size:
             batch = np.concatenate([batch, np.repeat(batch[-1:], args.batch_size - n, 0)])
         t0 = _time.time()
         preds = np.asarray(predict(params, jnp.asarray(batch)))[:n]
         dt = _time.time() - t0
-        for p, img, pred in zip(chunk, batch, preds):
-            mask = (pred > args.threshold).astype(np.uint8)
-            cv2.imwrite(str(masks_dir / f"{p.stem}_mask.tif"), mask)
-            if args.save_probability:
-                cv2.imwrite(str(out_dir / "probability_maps" / f"{p.stem}_prob.tif"),
-                            (np.clip(pred, 0, 1) * 255).astype(np.uint8))
-            if args.save_overlays:
-                from adipose_tpu.eval.visualize import color_overlay
-
-                ov = color_overlay(img, mask, overlay_rgb, alpha=0.4)
-                cv2.imwrite(str(out_dir / "overlays" / f"{p.stem}_overlay.png"),
-                            cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
+        thread_map(write_outputs, list(zip(chunk, batch, preds)))
         print(f"[{i + n}/{len(files)}] {dt / n:.3f}s/img")
 
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adipose_tpu.core.config import DataBuildConfig
+from adipose_tpu.core.hostio import thread_map
 from adipose_tpu.data.tiling import SegmentationDatasetBuilder, discover_slides
 
 
@@ -138,10 +139,17 @@ class ClassificationDatasetBuilder:
                 cls = "adipose" if t["label"] else "not_adipose"
                 d = self.build_root / "dataset" / split / cls
                 d.mkdir(parents=True, exist_ok=True)
-                cv2.imwrite(str(d / f"{t['name']}.jpg"), t["image"],
-                            [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality])
                 rows.append({"file": f"{cls}/{t['name']}.jpg", "label": t["label"],
                              "pos_ratio": t["pos_ratio"], "base": t["base"]})
+            # JPEG encode releases the GIL; writes are independent files
+            thread_map(
+                lambda t: cv2.imwrite(
+                    str(self.build_root / "dataset" / split /
+                        ("adipose" if t["label"] else "not_adipose") /
+                        f"{t['name']}.jpg"),
+                    t["image"], [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality]),
+                tiles,
+            )
             manifests[split] = rows
             self.stats.split_counts[split] = len(rows)
             import pandas as pd

@@ -10,6 +10,10 @@ TPU-native split of work: the host only decodes and caches uint8 tiles and
 assembles index order; augmentation and normalization run ON DEVICE inside the
 jitted train step (:mod:`adipose_tpu.data.augment`), so the host never touches
 float pixels — the reference's GIL-bound py_function bottleneck is gone.
+Decoding is thread-parallel within a batch (cv2.imread releases the GIL) and
+:func:`prefetch_batches` overlaps host decode of the NEXT batches with the
+device step on the current one — the analog of the reference's
+``tf.data ... .prefetch(AUTOTUNE)`` (``train_adipose_unet_v3.py:609-623``).
 
 TIFF masks are read via cv2 (tifffile isn't in this env); the builders write
 cv2-compatible TIFFs.
@@ -17,13 +21,58 @@ cv2-compatible TIFFs.
 
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterator
 
 import cv2
 import numpy as np
 
+from adipose_tpu.core.hostio import io_workers
 from adipose_tpu.core.seeding import get_project_seed
+
+
+def prefetch_batches(iterable, depth: int = 2):
+    """Run ``iterable`` on a background thread, keeping up to ``depth``
+    batches ready in a bounded queue. Exceptions re-raise at the consumer.
+
+    Abandoning the generator (early break / GC) stops the worker: its queue
+    slots are drained so a blocked ``put`` wakes, and the daemon worker checks
+    the stop flag before producing more.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def worker():
+        try:
+            for item in iterable:
+                if stop.is_set():
+                    return
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate to the consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        while True:  # free a blocked put so the daemon can observe `stop`
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _imread_gray(path: Path) -> np.ndarray:
@@ -68,6 +117,14 @@ class TileDataset:
             (p, mask_files[p.stem]) for p in image_files if p.stem in mask_files
         ]
         self._cache: dict = {} if cache else None
+        self._pool: ThreadPoolExecutor | None = None
+
+    def _decode_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=io_workers(), thread_name_prefix="tile-decode",
+            )
+        return self._pool
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -101,7 +158,8 @@ class TileDataset:
             batch_idx = list(indices[i : i + self.batch_size])
             while len(batch_idx) < self.batch_size:
                 batch_idx.append(batch_idx[-1])
-            imgs, masks = zip(*(self.load_pair(j) for j in batch_idx))
+            # thread-parallel decode (order-preserving); cv2 releases the GIL
+            imgs, masks = zip(*self._decode_pool().map(self.load_pair, batch_idx))
             yield np.stack(imgs), np.stack(masks)
 
 
@@ -118,6 +176,14 @@ class ClassificationDataset:
         self.files = pos + neg
         self.labels = np.array([1] * len(pos) + [0] * len(neg), np.float32)
         self._cache: dict = {}
+        self._pool: ThreadPoolExecutor | None = None
+
+    def _decode_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=io_workers(), thread_name_prefix="cls-decode",
+            )
+        return self._pool
 
     def __len__(self) -> int:
         return len(self.files)
@@ -146,6 +212,6 @@ class ClassificationDataset:
             batch_idx = list(indices[i : i + self.batch_size])
             while len(batch_idx) < self.batch_size:
                 batch_idx.append(batch_idx[-1])
-            imgs = np.stack([self.load(j) for j in batch_idx])
+            imgs = np.stack(list(self._decode_pool().map(self.load, batch_idx)))
             labels = self.labels[batch_idx]
             yield imgs, labels

@@ -16,6 +16,8 @@ from pathlib import Path
 import cv2
 import numpy as np
 
+from adipose_tpu.core.hostio import thread_map
+
 
 def compute_mean_std(image_paths, max_samples: int | None = None) -> tuple:
     """Streaming global mean/std over grayscale images; (127.5, 50.0) fallback
@@ -23,17 +25,23 @@ def compute_mean_std(image_paths, max_samples: int | None = None) -> tuple:
     paths = list(image_paths)
     if max_samples is not None:
         paths = paths[:max_samples]
+
+    def moments(p):
+        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            return 0, 0.0, 0.0
+        x = img.astype(np.float64)
+        return x.size, float(x.sum()), float((x * x).sum())
+
     count = 0
     total = 0.0
     total_sq = 0.0
-    for p in paths:
-        img = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
-        if img is None:
-            continue
-        x = img.astype(np.float64)
-        count += x.size
-        total += float(x.sum())
-        total_sq += float((x * x).sum())
+    # thread-parallel decode (cv2 releases the GIL); thread_map preserves
+    # path order, so the accumulation — and the result — stay deterministic
+    for n, s, sq in thread_map(moments, paths):
+        count += n
+        total += s
+        total_sq += sq
     if count == 0:
         return 127.5, 50.0
     mean = total / count

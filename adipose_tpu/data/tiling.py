@@ -524,17 +524,22 @@ class SegmentationDatasetBuilder:
         kept = self.sample_negatives(all_tiles)
         splits = self.split_tiles(kept)
         tiff_params = self._tiff_params()
-        for split, tiles in splits.items():
-            img_dir = self.build_root / "dataset" / split / "images"
-            msk_dir = self.build_root / "dataset" / split / "masks"
-            img_dir.mkdir(parents=True, exist_ok=True)
-            msk_dir.mkdir(parents=True, exist_ok=True)
-            for t in tiles:
-                cv2.imwrite(str(img_dir / f"{t['name']}.jpg"), t["image"],
-                            [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality])
-                cv2.imwrite(str(msk_dir / f"{t['name']}.tif"), t["mask"],
-                            tiff_params)
-            self.stats.split_counts[split] = len(tiles)
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for split, tiles in splits.items():
+                img_dir = self.build_root / "dataset" / split / "images"
+                msk_dir = self.build_root / "dataset" / split / "masks"
+                img_dir.mkdir(parents=True, exist_ok=True)
+                msk_dir.mkdir(parents=True, exist_ok=True)
+
+                def write_tile(t, img_dir=img_dir, msk_dir=msk_dir):
+                    cv2.imwrite(str(img_dir / f"{t['name']}.jpg"), t["image"],
+                                [cv2.IMWRITE_JPEG_QUALITY, cfg.jpeg_quality])
+                    cv2.imwrite(str(msk_dir / f"{t['name']}.tif"), t["mask"],
+                                tiff_params)
+
+                # JPEG/TIFF encode releases the GIL; writes are independent
+                list(pool.map(write_tile, tiles))
+                self.stats.split_counts[split] = len(tiles)
         self._write_logs(data_root, slides)
         return self.build_root
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adipose_tpu.core.config import EvalConfig, UNetConfig
+from adipose_tpu.core.hostio import thread_map
 from adipose_tpu.eval.boundary import BoundaryRefiner, calculate_boundary_metrics
 from adipose_tpu.eval.bootstrap import safe_bootstrap_ci
 from adipose_tpu.eval.sliding_window import SlidingWindowInference
@@ -191,7 +192,8 @@ class PublicationEvaluator:
         cfg = self.cfg
         refiner = (BoundaryRefiner(kernel_size=cfg.refine_kernel)
                    if cfg.use_boundary_refinement else None)
-        images = [read_image_gray(p) for p in image_paths]
+        # thread-parallel decode (cv2 releases the GIL), order-preserving
+        images = thread_map(read_image_gray, image_paths)
         preds: list = [None] * len(images)
 
         if cfg.use_sliding_window:
@@ -252,9 +254,10 @@ class PublicationEvaluator:
         pairs = load_validation_data(data_root)
         tile_paths = [p for p, _ in pairs]
         images, preds = self.predict_tiles(tile_paths)
-        trues = [
-            (read_image_gray(m) > 127).astype(np.float32) for _, m in pairs
-        ]
+        trues = thread_map(
+            lambda m: (read_image_gray(m) > 127).astype(np.float32),
+            [m for _, m in pairs],
+        )
 
         do_opt = cfg.optimize_threshold if optimize_threshold is None else optimize_threshold
         if cfg.adaptive_threshold:

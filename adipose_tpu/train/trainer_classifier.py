@@ -27,7 +27,7 @@ from adipose_tpu.core.config import ClassifierConfig, TrainConfig
 from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.core.seeding import key_for
 from adipose_tpu.data.augment import augment_grayscale_classification
-from adipose_tpu.data.loader import ClassificationDataset
+from adipose_tpu.data.loader import ClassificationDataset, prefetch_batches
 from adipose_tpu.models.inception import (
     InceptionV3Classifier,
     backbone_param_mask,
@@ -296,13 +296,15 @@ class ClassifierTrainer:
         for epoch in range(epochs):
             t0 = time.time()
             tms = []
-            for b, (imgs, labels) in enumerate(self.train_data.epoch_batches(epoch)):
+            for b, (imgs, labels) in enumerate(
+                    prefetch_batches(self.train_data.epoch_batches(epoch))):
                 rng = key_for(f"cls.p{phase}", cfg.seed, epoch * 100003 + b)
                 imgs, labels = shard_batch(self.mesh, (imgs, labels))
                 state, m = train_step(state, imgs, labels, class_w, rng)
                 tms.append(m)
             probs, labels_all = [], []
-            for imgs, labels in self.val_data.epoch_batches(epoch, shuffle=False):
+            for imgs, labels in prefetch_batches(
+                    self.val_data.epoch_batches(epoch, shuffle=False)):
                 imgs = shard_batch(self.mesh, imgs)
                 probs.append(np.asarray(val_step(state.params, state.batch_stats, imgs)))
                 labels_all.append(labels)

@@ -28,7 +28,7 @@ from adipose_tpu.core.config import TrainConfig, UNetConfig
 from adipose_tpu.core.jitopts import infer_jit, train_jit
 from adipose_tpu.core.seeding import key_for
 from adipose_tpu.data.augment import TIERS, augment_batch
-from adipose_tpu.data.loader import TileDataset
+from adipose_tpu.data.loader import TileDataset, prefetch_batches
 from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
 from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
 from adipose_tpu.ops.normalize import batched_percentile_unit_fast
@@ -303,7 +303,10 @@ class UNetTrainer:
                     opt_state=set_learning_rate(state.opt_state, schedule(epoch))
                 )
             train_metrics = []
-            for b, (imgs, masks) in enumerate(self.train_data.epoch_batches(epoch)):
+            # background decode of the next batches overlaps the device step
+            # (the reference's tf.data prefetch, train_adipose_unet_v3.py:623)
+            for b, (imgs, masks) in enumerate(
+                    prefetch_batches(self.train_data.epoch_batches(epoch))):
                 rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
                 aug_key, step_key = jax.random.split(rng)
                 imgs, masks = self._shard(self.mesh, (imgs, masks))
@@ -345,7 +348,8 @@ class UNetTrainer:
                                               mean, std)
                 train_metrics.append(m)
             val_metrics = []
-            for imgs, masks in self.val_data.epoch_batches(epoch, shuffle=False):
+            for imgs, masks in prefetch_batches(
+                    self.val_data.epoch_batches(epoch, shuffle=False)):
                 imgs, masks = self._shard(self.mesh, (imgs, masks))
                 val_metrics.append(val_step(state.params, imgs, masks, mean, std))
 

@@ -29,6 +29,7 @@ import cv2
 import jax.numpy as jnp
 import numpy as np
 
+from adipose_tpu.core.hostio import thread_map
 from adipose_tpu.eval.boundary import BoundaryRefiner
 from adipose_tpu.ops.blend import blend_tiles, gaussian_weight_map
 from adipose_tpu.ops.metrics import pixel_metrics
@@ -202,18 +203,22 @@ class SlideReconstructor:
         tiles_info: [(row, col, image_path, mask_path|None), ...]
         """
         t = self.tile_size
-        imgs, gts, positions = [], [], []
-        for row, col, img_path, mask_path in tiles_info:
+
+        def decode(info):
+            row, col, img_path, mask_path = info
             img = cv2.imread(str(img_path), cv2.IMREAD_GRAYSCALE)
             if img is None:
-                continue
-            imgs.append(img.astype(np.float32))
-            positions.append((row * self.stride, col * self.stride))
+                return None
+            gt = None
             if mask_path is not None:
                 m = cv2.imread(str(mask_path), cv2.IMREAD_UNCHANGED)
-                gts.append((np.asarray(m) > 0).astype(np.float32))
-            else:
-                gts.append(None)
+                gt = (np.asarray(m) > 0).astype(np.float32)
+            return img.astype(np.float32), (row * self.stride, col * self.stride), gt
+
+        decoded = [d for d in thread_map(decode, tiles_info) if d is not None]
+        imgs = [d[0] for d in decoded]
+        positions = [d[1] for d in decoded]
+        gts = [d[2] for d in decoded]
         if not imgs:
             raise ValueError("no readable tiles")
         tiles = np.stack(imgs)

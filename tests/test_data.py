@@ -549,3 +549,70 @@ class TestMontage:
         with pytest.raises(ValueError):
             montage_pairs(np.zeros((3, 4, 4)), np.zeros((3, 4, 4)), 2, 2,
                           np.random.RandomState(0))
+
+
+class TestPrefetch:
+    def test_prefetch_yields_same_batches(self):
+        from adipose_tpu.data.loader import prefetch_batches
+
+        batches = [(np.full((2, 4, 4), i, np.uint8), np.zeros((2, 4, 4)))
+                   for i in range(7)]
+        got = list(prefetch_batches(iter(batches), depth=2))
+        assert len(got) == 7
+        for (gi, _), (wi, _) in zip(got, batches):
+            assert np.array_equal(gi, wi)
+
+    def test_prefetch_propagates_errors(self):
+        from adipose_tpu.data.loader import prefetch_batches
+
+        def gen():
+            yield 1
+            raise RuntimeError("decode failed")
+
+        it = prefetch_batches(gen(), depth=2)
+        assert next(it) == 1
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="decode failed"):
+            next(it)
+
+    def test_prefetch_early_break_stops_worker(self):
+        import threading
+
+        from adipose_tpu.data.loader import prefetch_batches
+
+        produced = []
+
+        def gen():
+            for i in range(1000):
+                produced.append(i)
+                yield i
+
+        before = threading.active_count()
+        for x in prefetch_batches(gen(), depth=2):
+            if x >= 3:
+                break
+        # bounded queue: the worker can't have run far ahead
+        assert len(produced) < 20
+        import time
+        for _ in range(50):  # worker drains and exits
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.05)
+
+    def test_tile_dataset_parallel_decode_deterministic(self, tmp_path, rng):
+        import cv2
+
+        img_dir = tmp_path / "images"; img_dir.mkdir()
+        mask_dir = tmp_path / "masks"; mask_dir.mkdir()
+        for i in range(9):
+            cv2.imwrite(str(img_dir / f"t{i}.png"),
+                        (rng.rand(16, 16) * 255).astype(np.uint8))
+            cv2.imwrite(str(mask_dir / f"t{i}.tif"),
+                        (rng.rand(16, 16) > 0.5).astype(np.uint8) * 255)
+        ds = TileDataset(img_dir, mask_dir, batch_size=4, seed=7)
+        a = [b for b in ds.epoch_batches(0)]
+        ds2 = TileDataset(img_dir, mask_dir, batch_size=4, seed=7, cache=False)
+        b = [bb for bb in ds2.epoch_batches(0)]
+        assert len(a) == len(b) == 3  # 9 tiles -> 3 padded batches
+        for (ia, ma), (ib, mb) in zip(a, b):
+            assert np.array_equal(ia, ib) and np.array_equal(ma, mb)
