@@ -153,10 +153,12 @@ def plot_checkpoint_comparison(df: pd.DataFrame, output_path: str | Path,
     fig, ax = plt.subplots(figsize=(max(6, len(sel) * 1.2), 4))
     x = np.arange(len(sel))
     means = sel["Mean"].to_numpy()
-    err = np.stack([
-        means - sel["CI_Lower"].to_numpy(),
-        sel["CI_Upper"].to_numpy() - means,
-    ])
+    # lists, not a (2, N) ndarray: matplotlib's yerr probing calls
+    # math.isfinite on each row, which is deprecated for size-1 arrays
+    err = [
+        (means - sel["CI_Lower"].to_numpy()).tolist(),
+        (sel["CI_Upper"].to_numpy() - means).tolist(),
+    ]
     ax.bar(x, means, yerr=err, capsize=4)
     ax.set_xticks(x)
     ax.set_xticklabels(sel["checkpoint"], rotation=30, ha="right", fontsize=7)
