@@ -646,9 +646,12 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--classifier-threshold", type=float, default=0.5)
     pl.add_argument("--threshold", type=float, default=0.5)
     pl.add_argument("--batch-size", type=int, default=16)
-    pl.add_argument("--transfer-dtype", choices=["float16", "float32"],
+    pl.add_argument("--transfer-dtype",
+                    choices=["uint8", "float16", "float32"],
                     default="float16",
-                    help="final probability-map download precision")
+                    help="final probability-map download precision (uint8 "
+                         "downloads the exact PNG payload — smallest "
+                         "transfer, 1/255-step probabilities)")
 
     # -- preprocessing tools --------------------------------------------------
     ch = sub.add_parser("chunk-wsi", help="cut huge WSIs into chunks")

@@ -78,6 +78,20 @@ def finalize_blend(acc: jax.Array, wsum: jax.Array) -> jax.Array:
     return acc / jnp.maximum(wsum, 1e-8)
 
 
+@jax.jit
+def finalize_blend_u8(acc: jax.Array, wsum: jax.Array) -> jax.Array:
+    """Finalize + quantize to the u8 PNG encoding on device.
+
+    Matches the artifact arithmetic ``(np.clip(p, 0, 1) * 255).astype(uint8)``
+    (truncating cast, as the reference's ``prediction * 255`` saves —
+    ``full_evaluation_enhanced.py:1060-1066``) so the downloaded bytes ARE the
+    probability PNG payload: a 4096² map moves 16.8 MB instead of 33.5 (f16)
+    or 67 (f32) through the host link.
+    """
+    p = acc / jnp.maximum(wsum, 1e-8)
+    return (jnp.clip(p, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def blend_tiles(
     tiles: jax.Array,

@@ -4,7 +4,9 @@ The reference runs this as four separate scripts glued by bash
 (``Segmentation/run_complete_pipeline.sh``) and never fuses the two models.
 Here the cascade is one driver with a fused device path:
 
-  1. chunk/tile the WSI (host IO, :mod:`adipose_tpu.wsi.chunker` / tile grid);
+  1. upload the u8 slide once and gather the tile grid ON DEVICE
+     (:func:`adipose_tpu.ops.blend.extract_tiles`; host tiling only for
+     mesh-sharded runs);
   2. QC-filter tiles in device batches (:mod:`adipose_tpu.ops.qc`);
   3. classify tiles (InceptionV3) in device batches;
   4. segment only tiles classified adipose-positive (U-Net ± TTA) — negative
@@ -30,12 +32,13 @@ import numpy as np
 from adipose_tpu.ops.blend import (
     accumulate_predictions,
     accumulate_weights,
+    extract_tiles,
     finalize_blend,
+    finalize_blend_u8,
     gaussian_weight_map,
     sliding_window_positions,
 )
 from adipose_tpu.ops.qc import classify_tiles_batch
-from adipose_tpu.parallel.mesh import pad_batch_to
 
 
 @dataclass
@@ -45,6 +48,10 @@ class PipelineResult:
     n_good: int
     n_positive: int
     timings: dict
+    # exact u8 PNG payload when transfer_dtype='uint8' (else None); already
+    # quantized on device, so writers should emit it verbatim rather than
+    # re-quantizing probability_map
+    probability_u8: np.ndarray | None = None
 
 
 class DualModelWSIPipeline:
@@ -63,7 +70,8 @@ class DualModelWSIPipeline:
         blur_threshold: float = 7.5,
         blend_sigma_factor: float = 0.25,
         mesh=None,
-        transfer_dtype: str = "float16",  # 'float16' | 'float32'
+        transfer_dtype: str = "float16",  # 'float16' | 'float32' | 'uint8'
+        device_tiling: bool = True,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — each QC/classify/segment
         chunk shards over the mesh 'data' axis, spreading one slide's tile
@@ -88,7 +96,16 @@ class DualModelWSIPipeline:
         # blend_s through the tunnel) at a quantization error <= 5e-4 on
         # [0,1] probabilities, inside the model-wide bf16 noise band
         # (DiffSigmoidHead docstring). 'float32' restores exact transfer.
+        # 'uint8' quantizes to the PNG payload on device (16.8 MB; exact
+        # w.r.t. the saved probability artifact, 1/255-step probability_map).
         self.transfer_dtype = transfer_dtype
+        # Slide-resident tiling: upload the padded u8 slide ONCE and gather
+        # each (B, T, T) tile chunk on device (ops.blend.extract_tiles).
+        # Host tiling uploads every overlapping tile for QC/classify and the
+        # positive subset AGAIN for segmentation — ~3x the slide's bytes at
+        # 0.25 overlap. Device tiling moves the slide's bytes exactly once.
+        # Mesh runs keep host tiling (chunks are device_put per-shard).
+        self.device_tiling = device_tiling
 
     def _put(self, chunk: np.ndarray):
         if self.mesh is None:
@@ -98,23 +115,6 @@ class DualModelWSIPipeline:
         from adipose_tpu.parallel.mesh import data_sharding
 
         return jax.device_put(chunk, data_sharding(self.mesh, chunk.ndim))
-
-    def _batched(self, fn, arrays: np.ndarray) -> np.ndarray:
-        return self._batched_multi(lambda c: (fn(c),), arrays)[0]
-
-    def _batched_multi(self, fn, arrays: np.ndarray) -> list:
-        """Chunked device map for an ``fn`` returning a TUPLE of per-tile
-        outputs — one upload serves several device computations. Results stay
-        on device until ALL chunks are dispatched (no per-chunk host sync),
-        so uploads and compute pipeline."""
-        device_outs: list | None = None
-        b = self.batch_size
-        for i in range(0, len(arrays), b):
-            (chunk,), n = pad_batch_to(b, arrays[i : i + b])
-            res = [r[:n] for r in fn(self._put(chunk))]
-            device_outs = [[r] for r in res] if device_outs is None else [
-                o + [r] for o, r in zip(device_outs, res)]
-        return [np.concatenate([np.asarray(r) for r in o]) for o in device_outs]
 
     def run(self, image: np.ndarray) -> PipelineResult:
         t = self.tile_size
@@ -127,18 +127,41 @@ class DualModelWSIPipeline:
             gray = np.pad(gray, ((0, pad_h), (0, pad_w)), mode="reflect")
         positions = np.asarray(
             sliding_window_positions(gray.shape, t, self.overlap), np.int32)
-        # Keep tiles in the source dtype (u8 for real slides): host->device
-        # transfers are 4x smaller than f32, and every consumer casts on
-        # device where the conversion is free.
-        tiles = np.stack([gray[y : y + t, x : x + t] for (y, x) in positions])
+        n_tiles = len(positions)
+        b = self.batch_size
+        use_device_tiling = self.device_tiling and self.mesh is None
+        if use_device_tiling:
+            # ONE u8 slide upload; every tile chunk is a device gather.
+            slide_dev = jnp.asarray(gray)
+
+            def get_tiles(idx):
+                return extract_tiles(
+                    slide_dev, jnp.asarray(positions[idx], jnp.int32), t)
+        else:
+            # Keep tiles in the source dtype (u8 for real slides):
+            # host->device transfers are 4x smaller than f32, and every
+            # consumer casts on device where the conversion is free.
+            tiles_host = np.stack(
+                [gray[y : y + t, x : x + t] for (y, x) in positions])
+
+            def get_tiles(idx):
+                return self._put(tiles_host[idx])
         timings["tiling_s"] = time.time() - t0
+
+        def chunk_indices(index_list):
+            """Yield (b-padded index array, n valid) chunks."""
+            for i in range(0, len(index_list), b):
+                idx = index_list[i : i + b]
+                n = len(idx)
+                yield np.pad(idx, (0, b - n), mode="edge"), n
 
         def as_f32(c):
             return c.astype(jnp.float32)
 
-        # QC + classification: ONE upload per chunk feeds both (the
-        # classifier runs on every tile — at ~1k tiles/s that is cheaper
-        # than a second host->device pass over the good subset).
+        # QC + classification: ONE tile chunk feeds both (the classifier
+        # runs on every tile — at ~1k tiles/s that is cheaper than a second
+        # pass over the good subset). Results stay on device until all
+        # chunks are dispatched, so gathers/uploads and compute pipeline.
         t0 = time.time()
 
         def qc_and_classify(c):
@@ -146,9 +169,12 @@ class DualModelWSIPipeline:
             return (classify_tiles_batch(cf, *self.qc_args)["is_good"],
                     self.classifier_predict(self.classifier_variables, cf))
 
-        good_probs = self._batched_multi(qc_and_classify, tiles)
-        good = good_probs[0].astype(bool)
-        probs = np.where(good, good_probs[1], 0.0).astype(np.float32)
+        dev_outs = []
+        for idx, n in chunk_indices(np.arange(n_tiles)):
+            dev_outs.append([r[:n] for r in qc_and_classify(get_tiles(idx))])
+        good = np.concatenate([np.asarray(o[0]) for o in dev_outs]).astype(bool)
+        probs = np.concatenate([np.asarray(o[1]) for o in dev_outs])
+        probs = np.where(good, probs, 0.0).astype(np.float32)
         positive = good & (probs >= self.classifier_threshold)
         timings["qc_classify_s"] = time.time() - t0
 
@@ -159,27 +185,20 @@ class DualModelWSIPipeline:
         t0 = time.time()
         acc = jnp.zeros(gray.shape, jnp.float32)
         wsum = jnp.zeros(gray.shape, jnp.float32)
-        b = self.batch_size
-        for i in range(0, len(positions), b):
-            (cpos,), n = pad_batch_to(b, positions[i : i + b])
+        for idx, n in chunk_indices(np.arange(n_tiles)):
             wsum = accumulate_weights(
-                wsum, jnp.asarray(cpos, jnp.int32), self.weight_map,
+                wsum, jnp.asarray(positions[idx], jnp.int32), self.weight_map,
                 jnp.asarray(np.arange(b) < n, jnp.float32))
         timings["blend_weights_s"] = time.time() - t0
 
         t0 = time.time()
         if positive.any():
-            pos_idx = np.flatnonzero(positive)
-            pos_tiles = tiles[pos_idx]
-            pos_yx = positions[pos_idx]
-            for i in range(0, len(pos_idx), b):
-                (chunk, cpos), n = pad_batch_to(
-                    b, pos_tiles[i : i + b], pos_yx[i : i + b])
+            for idx, n in chunk_indices(np.flatnonzero(positive)):
                 seg_chunk = self.segmenter_predict(
-                    self.segmenter_params, as_f32(self._put(chunk)))
+                    self.segmenter_params, as_f32(get_tiles(idx)))
                 valid = jnp.asarray(np.arange(b) < n, jnp.float32)
                 acc = accumulate_predictions(
-                    acc, seg_chunk, jnp.asarray(cpos, jnp.int32),
+                    acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
                     self.weight_map, valid)
         # dispatch is async: block here so segment_s measures segmentation,
         # not the later finalize sync
@@ -187,18 +206,24 @@ class DualModelWSIPipeline:
         timings["segment_s"] = time.time() - t0
 
         t0 = time.time()
-        out = finalize_blend(acc, wsum)
-        if self.transfer_dtype == "float16":
-            out = out.astype(jnp.float16)
-        full = np.asarray(out)[:h, :w].astype(np.float32)
+        prob_u8 = None
+        if self.transfer_dtype == "uint8":
+            prob_u8 = np.asarray(finalize_blend_u8(acc, wsum))[:h, :w]
+            full = prob_u8.astype(np.float32) / 255.0
+        else:
+            out = finalize_blend(acc, wsum)
+            if self.transfer_dtype == "float16":
+                out = out.astype(jnp.float16)
+            full = np.asarray(out)[:h, :w].astype(np.float32)
         timings["blend_s"] = time.time() - t0 + timings.pop("blend_weights_s")
 
         return PipelineResult(
             probability_map=full,
-            n_tiles=len(tiles),
+            n_tiles=n_tiles,
             n_good=int(good.sum()),
             n_positive=int(positive.sum()),
             timings=timings,
+            probability_u8=prob_u8,
         )
 
     def run_file(self, image_path: str | Path, output_dir: str | Path,
@@ -212,8 +237,10 @@ class DualModelWSIPipeline:
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         stem = Path(image_path).stem
-        cv2.imwrite(str(out / f"{stem}_probability.png"),
-                    (np.clip(result.probability_map, 0, 1) * 255).astype(np.uint8))
+        prob_png = (result.probability_u8 if result.probability_u8 is not None
+                    else (np.clip(result.probability_map, 0, 1) * 255)
+                    .astype(np.uint8))
+        cv2.imwrite(str(out / f"{stem}_probability.png"), prob_png)
         cv2.imwrite(str(out / f"{stem}_mask.png"),
                     ((result.probability_map > threshold) * 255).astype(np.uint8))
         (out / f"{stem}_pipeline_log.json").write_text(json.dumps({

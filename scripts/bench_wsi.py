@@ -3,7 +3,10 @@ dual-model cascade (QC -> InceptionV3 gate -> U-Net -> Gaussian blend).
 
 Fills the BASELINE.md "end-to-end WSI seconds" row. Run on TPU, serialized:
 
-    python scripts/bench_wsi.py [slide_px] [overlap]
+    python scripts/bench_wsi.py [slide_px] [overlap] [transfer_dtype]
+
+transfer_dtype: uint8 (default; exact PNG payload, smallest download),
+float16, or float32.
 
 Note: host->device transfers here ride the axon tunnel (~80 MB/s); on a
 directly-attached TPU host the transfer share shrinks ~100x.
@@ -26,6 +29,7 @@ def main():
 
     slide_px = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     overlap = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+    transfer_dtype = sys.argv[3] if len(sys.argv) > 3 else "uint8"
     print("backend:", jax.devices())
 
     unet = DilatedUNet(init_nb=44, compute_dtype=jnp.bfloat16)
@@ -56,6 +60,7 @@ def main():
     pipe = DualModelWSIPipeline(
         cls_predict, clf_vars, seg_predict, seg_params,
         tile_size=1024, overlap=overlap, classifier_threshold=0.0,
+        transfer_dtype=transfer_dtype,
     )
 
     res = pipe.run(slide)  # warmup: compiles every stage
@@ -67,6 +72,7 @@ def main():
     total = sorted(totals)[1]
     out = {
         "metric": f"wsi_{slide_px}px_end_to_end_s",
+        "transfer_dtype": transfer_dtype,
         "value": round(total, 3),
         "unit": "s (median of 3)",
         "all_runs_s": [round(t, 3) for t in totals],

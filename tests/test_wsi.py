@@ -5,6 +5,7 @@ import json
 from pathlib import Path
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -237,6 +238,72 @@ class TestDualModelPipeline:
         # segmented region localized to the bright quadrant
         assert result.probability_map[:64, :64].mean() > 0.5
         assert result.probability_map[64:, 64:].mean() < 0.1
+
+    def test_device_tiling_matches_host_tiling(self, rng):
+        """Device-resident gather tiling ≡ host np.stack tiling (same map)."""
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        img = (rng.rand(160, 160) * 255).astype(np.uint8)
+        kw = dict(tile_size=64, overlap=0.25, batch_size=4, blur_threshold=0.0)
+
+        def classifier(v, t):
+            return jnp.mean(t, axis=(1, 2)) / 255.0
+
+        def segmenter(p, t):
+            return jax.nn.sigmoid((t - 100.0) / 50.0)
+
+        dev = DualModelWSIPipeline(classifier, None, segmenter, None,
+                                   device_tiling=True, **kw).run(img)
+        host = DualModelWSIPipeline(classifier, None, segmenter, None,
+                                    device_tiling=False, **kw).run(img)
+        assert dev.n_tiles == host.n_tiles
+        assert dev.n_positive == host.n_positive
+        np.testing.assert_allclose(
+            dev.probability_map, host.probability_map, atol=1e-6)
+
+    def test_uint8_transfer_matches_quantized_float(self, rng):
+        """transfer_dtype='uint8' returns the exact PNG payload: equal to the
+        float32 path quantized with the artifact arithmetic."""
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        img = (rng.rand(128, 128) * 255).astype(np.uint8)
+        kw = dict(tile_size=64, overlap=0.25, batch_size=4, blur_threshold=0.0)
+
+        def classifier(v, t):
+            return jnp.ones(t.shape[0])
+
+        def segmenter(p, t):
+            return jax.nn.sigmoid((t - 100.0) / 50.0)
+
+        f32 = DualModelWSIPipeline(classifier, None, segmenter, None,
+                                   transfer_dtype="float32", **kw).run(img)
+        u8 = DualModelWSIPipeline(classifier, None, segmenter, None,
+                                  transfer_dtype="uint8", **kw).run(img)
+        assert f32.probability_u8 is None
+        assert u8.probability_u8 is not None
+        assert u8.probability_u8.dtype == np.uint8
+        expected = (np.clip(f32.probability_map, 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(u8.probability_u8, expected)
+        # the returned float map is the dequantized payload
+        np.testing.assert_allclose(
+            u8.probability_map, u8.probability_u8 / 255.0, atol=1e-7)
+
+    def test_run_file_uint8_writes_payload_verbatim(self, tmp_path, rng):
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        img = (rng.rand(128, 128) * 255).astype(np.uint8)
+        src = tmp_path / "slide.png"
+        cv2.imwrite(str(src), img)
+        pipe = DualModelWSIPipeline(
+            lambda v, t: jnp.ones(t.shape[0]), None,
+            lambda p, t: jax.nn.sigmoid((t - 100.0) / 50.0), None,
+            tile_size=64, batch_size=4, blur_threshold=0.0,
+            transfer_dtype="uint8",
+        )
+        result = pipe.run_file(src, tmp_path / "out")
+        png = cv2.imread(str(tmp_path / "out" / "slide_probability.png"),
+                         cv2.IMREAD_GRAYSCALE)
+        np.testing.assert_array_equal(png, result.probability_u8)
 
     def test_run_file_outputs(self, tmp_path, rng):
         from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
