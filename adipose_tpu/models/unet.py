@@ -33,6 +33,25 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+
+#: checkpoint_name tags carried by every full-resolution (level-1) activation
+#: stash. Training at 1024² b8 fills HBM (17 GB temps) and XLA responds with
+#: ~95 ms/step of layout-transpose + compression-remat copies on exactly these
+#: buffers (BASELINE.md round-2 profile). Rematerializing them instead —
+#: ``jax.checkpoint(apply, policy=jax.checkpoint_policies.
+#: save_anything_except_these_names(*LEVEL1_CHECKPOINT_NAMES))`` — trades 5
+#: level-1 convs of recompute for those copies. Tags are identity elsewhere.
+LEVEL1_CHECKPOINT_NAMES = (
+    "l1.down1_conv1", "l1.down1_conv2",
+    "l1.up1_conv1", "l1.up1_conv2", "l1.up1_conv3", "l1.up1",
+)
+
+
+def level1_remat_policy():
+    """Checkpoint policy: save everything except level-1 (1024²) stashes."""
+    return jax.checkpoint_policies.save_anything_except_these_names(
+        *LEVEL1_CHECKPOINT_NAMES)
 
 
 def upsample_nearest_2x(x: jax.Array) -> jax.Array:
@@ -272,6 +291,10 @@ class _ConvBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     in_blocks: tuple = ()
     cout_pads: tuple = ()
+    # Tag each conv-relu output with jax.ad_checkpoint.checkpoint_name
+    # ("l1.<conv name>") so trainers can rematerialize exactly these stashes
+    # (see LEVEL1_CHECKPOINT_NAMES). Identity outside a checkpoint context.
+    ckpt_tag: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -285,6 +308,8 @@ class _ConvBlock(nn.Module):
                 x = nn.Conv(self.features, (3, 3), padding="SAME",
                             dtype=self.dtype, name=name)(x)
             x = nn.relu(x)
+            if self.ckpt_tag:
+                x = checkpoint_name(x, f"l1.{name}")
             blocks = ((self.features, pad),) if pad else ()
         return x
 
@@ -330,7 +355,7 @@ class DilatedUNet(nn.Module):
         # and unpadded paths share one param tree)
         down1 = block(nb, ("down1_conv1", "down1_conv2"), dt,
                       in_blocks=(), cout_pads=(P, P) if P else (),
-                      name="_ConvBlock_0")(x)
+                      ckpt_tag=True, name="_ConvBlock_0")(x)
         p1 = nn.max_pool(down1, (2, 2), strides=(2, 2))
         down2 = block(nb * 2, ("down2_conv1", "down2_conv2"), dt,
                       in_blocks=((nb, P),) if P else (), cout_pads=(),
@@ -360,16 +385,19 @@ class DilatedUNet(nn.Module):
         bottleneck = sum(taps)
 
         # Decoder
-        def up_stage(feat, skip, y, names):
-            y = nn.relu(FusedUpsampleConv(feat, dt, name=names[0])(y))
+        def up_stage(feat, skip, y, names, tag=False):
+            def _t(z, name):
+                return checkpoint_name(z, f"l1.{name}") if tag else z
+
+            y = _t(nn.relu(FusedUpsampleConv(feat, dt, name=names[0])(y)), names[0])
             # NOTE: computing this as two split convs (avoiding the concat
             # materialization) was measured SLOWER on v5e (75.2 vs 80.0
             # tiles/s) — XLA fuses concat+conv better than two MXU passes.
             y = jnp.concatenate([skip, y], axis=-1)
-            y = nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[1])(y))
-            y = nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[2])(y))
+            y = _t(nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[1])(y)), names[1])
+            y = _t(nn.relu(nn.Conv(feat, (3, 3), padding="SAME", dtype=dt, name=names[2])(y)), names[2])
             y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
-            return y
+            return _t(y, "up1") if tag else y
 
         up3 = up_stage(self.init_nb * 4, down3, bottleneck,
                        ("up3_conv1", "up3_conv2", "up3_conv3"))
@@ -379,15 +407,19 @@ class DilatedUNet(nn.Module):
             # Level-1 decoder stage lane-padded: the skip/upsample concat is
             # 64+64 = exactly one 128-lane register.
             y = nn.relu(FusedUpsampleConv(nb, dt, cout_pad=P, name="up1_conv1")(up2))
+            y = checkpoint_name(y, "l1.up1_conv1")
             y = jnp.concatenate([down1, y], axis=-1)
             y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P), (nb, P)), cout_pad=P,
                                 name="up1_conv2")(y))
+            y = checkpoint_name(y, "l1.up1_conv2")
             y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P),), cout_pad=P,
                                 name="up1_conv3")(y))
+            y = checkpoint_name(y, "l1.up1_conv3")
             up1 = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+            up1 = checkpoint_name(up1, "l1.up1")
         else:
             up1 = up_stage(self.init_nb, down1, up2,
-                           ("up1_conv1", "up1_conv2", "up1_conv3"))
+                           ("up1_conv1", "up1_conv2", "up1_conv3"), tag=True)
 
         # Main head: softmax-2ch-slice computed as sigmoid(logit-difference)
         # (exact reformulation; see DiffSigmoidHead — saves 15% of forward).
