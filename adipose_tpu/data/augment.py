@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adipose_tpu.ops.d4 import apply_transform
+from adipose_tpu.ops.d4 import apply_transform, apply_transform_batch
 
 
 # ---- Geometric primitives ---------------------------------------------------
@@ -40,6 +40,21 @@ def random_rotation_90(key, image, mask):
     """(``data.py:13-18``)"""
     k = jax.random.randint(key, (), 0, 4)
     return apply_transform(image, k), apply_transform(mask, k)
+
+
+def random_d4(key, image, mask):
+    """One uniform D4 transform for the pair.
+
+    Distribution-equivalent to the reference's independent rot90(k) draw +
+    LR/UD coin flips (``data.py:13-29``): the 4×2×2 = 16 (k, lr, ud) combos
+    map exactly 2:1 onto the 8 D4 elements, so a single uniform id ∈ [0, 8)
+    is the same law (documented in PARITY.md). One draw lets the batch path
+    apply the whole geometric stage as :func:`apply_transform_batch` —
+    see that docstring for why vmapped per-sample rot90 is catastrophic on
+    TPU.
+    """
+    tid = jax.random.randint(key, (), 0, 8)
+    return apply_transform(image, tid), apply_transform(mask, tid)
 
 
 def random_flip(key, image, mask):
@@ -77,19 +92,31 @@ _BLUR_RADIUS = 5  # supports sigma ≤ ~1.7 (reference max 1.5)
 
 
 def _blur_fixed(image, sigma):
-    """Gaussian blur with a fixed kernel support and traced sigma."""
+    """Gaussian blur with a fixed kernel support and traced sigma.
+
+    TPU-native: 2·R+1 statically-shifted weighted adds per axis instead of a
+    single-channel conv. With C_in = 1, XLA's conv layout assignment puts the
+    vmapped batch dim into the 128-lane position ({0,2,1}, 16× padded at
+    B=8) and that choice infects every downstream fusion — a standalone b8
+    elastic program failed to even allocate (22 GB of padded temps). Shifted
+    adds are layout-neutral VPU work with identical weights (summation order
+    differs from the conv by float reassociation only).
+    """
     x = jnp.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1, dtype=jnp.float32)
     sig = jnp.maximum(sigma, 1e-3)
     k = jnp.exp(-0.5 * (x / sig) ** 2)
     k = k / jnp.sum(k)
+    h, w = image.shape
+    taps = 2 * _BLUR_RADIUS + 1
     padded = jnp.pad(image, ((_BLUR_RADIUS, _BLUR_RADIUS), (0, 0)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        padded[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
+    out = jnp.zeros_like(image)
+    for i in range(taps):
+        out = out + k[i] * jax.lax.slice_in_dim(padded, i, i + h, axis=0)
     padded2 = jnp.pad(out, ((0, 0), (_BLUR_RADIUS, _BLUR_RADIUS)), mode="reflect")
-    return jax.lax.conv_general_dilated(
-        padded2[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
+    out2 = jnp.zeros_like(image)
+    for i in range(taps):
+        out2 = out2 + k[i] * jax.lax.slice_in_dim(padded2, i, i + w, axis=1)
+    return out2
 
 
 def random_gaussian_blur(key, image, sigma_range=(0.0, 1.5), prob=0.3):
@@ -244,70 +271,89 @@ def _maybe(key, fn, image, prob):
 # ---- Tiers (data.py:148-339) ------------------------------------------------
 
 
-def augment_pair_heavy(key, image, mask):
-    """(``data.py:148-191``) — for datasets <200 tiles."""
-    ks = jax.random.split(key, 9)
-    image, mask = random_rotation_90(ks[0], image, mask)
-    image, mask = random_flip(ks[1], image, mask)
-    image, mask = random_scale(ks[2], image, mask, (0.9, 1.1), prob=0.5)
-    image, mask = _maybe_elastic(ks[3], image, mask, prob=0.3, alpha=15.0, sigma=3.0)
-    image = _maybe(ks[4], lambda k, im: random_brightness(k, im, (0.8, 1.2)), image, 0.7)
-    image = _maybe(ks[5], lambda k, im: random_contrast(k, im, (0.8, 1.2)), image, 0.7)
-    image = _maybe(ks[6], lambda k, im: random_gamma(k, im, (0.8, 1.2)), image, 0.7)
-    image = random_gaussian_blur(ks[7], image, (0.0, 1.0), prob=0.2)
-    image = random_gaussian_noise(ks[8], image, (0.0, 5.0), prob=0.2)
-    return image, mask
-
-
-def augment_pair_moderate(key, image, mask):
-    """(``data.py:194-232``) — for 100-500-tile datasets (default tier)."""
+def _rest_heavy(key, image, mask):
     ks = jax.random.split(key, 7)
-    image, mask = random_rotation_90(ks[0], image, mask)
-    image, mask = random_flip(ks[1], image, mask)
-    image, mask = random_scale(ks[2], image, mask, (0.95, 1.05), prob=0.3)
-    image, mask = _maybe_elastic(ks[3], image, mask, prob=0.15, alpha=8.0, sigma=3.0)
-    image = _maybe(ks[4], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.5)
-    image = _maybe(ks[5], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.5)
-    image = random_gaussian_blur(ks[6], image, (0.0, 0.8), prob=0.15)
+    image, mask = random_scale(ks[0], image, mask, (0.9, 1.1), prob=0.5)
+    image, mask = _maybe_elastic(ks[1], image, mask, prob=0.3, alpha=15.0, sigma=3.0)
+    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.8, 1.2)), image, 0.7)
+    image = _maybe(ks[3], lambda k, im: random_contrast(k, im, (0.8, 1.2)), image, 0.7)
+    image = _maybe(ks[4], lambda k, im: random_gamma(k, im, (0.8, 1.2)), image, 0.7)
+    image = random_gaussian_blur(ks[5], image, (0.0, 1.0), prob=0.2)
+    image = random_gaussian_noise(ks[6], image, (0.0, 5.0), prob=0.2)
     return image, mask
 
 
-def augment_pair_light(key, image, mask):
-    """(``data.py:235-261``) — for >500-tile datasets."""
-    ks = jax.random.split(key, 3)
-    image, mask = random_rotation_90(ks[0], image, mask)
-    image, mask = random_flip(ks[1], image, mask)
-    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.95, 1.05)), image, 0.3)
+def _rest_moderate(key, image, mask):
+    ks = jax.random.split(key, 5)
+    image, mask = random_scale(ks[0], image, mask, (0.95, 1.05), prob=0.3)
+    image, mask = _maybe_elastic(ks[1], image, mask, prob=0.15, alpha=8.0, sigma=3.0)
+    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.5)
+    image = _maybe(ks[3], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.5)
+    image = random_gaussian_blur(ks[4], image, (0.0, 0.8), prob=0.15)
     return image, mask
 
 
-def augment_pair_tta_style(key, image, mask):
+def _rest_light(key, image, mask):
+    image = _maybe(key, lambda k, im: random_brightness(k, im, (0.95, 1.05)), image, 0.3)
+    return image, mask
+
+
+def _rest_tta_style(key, image, mask):
+    ks = jax.random.split(key, 5)
+    image, mask = random_scale(ks[0], image, mask, (0.95, 1.05), prob=0.3)
+    image = _maybe(ks[1], lambda k, im: random_brightness(k, im, (0.85, 1.15)), image, 0.6)
+    image = _maybe(ks[2], lambda k, im: random_contrast(k, im, (0.85, 1.15)), image, 0.6)
+    image = _maybe(ks[3], lambda k, im: random_gamma(k, im, (0.85, 1.15)), image, 0.5)
+    image = random_gaussian_blur(ks[4], image, (0.0, 0.7), prob=0.15)
+    return image, mask
+
+
+def _rest_classification(key, image, mask):
+    ks = jax.random.split(key, 6)
+    image, _ = random_scale(ks[0], image, mask, (0.95, 1.05), prob=0.3)
+    image = _maybe(ks[1], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.6)
+    image = _maybe(ks[2], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.6)
+    image = _maybe(ks[3], lambda k, im: random_gamma(k, im, (0.9, 1.1)), image, 0.5)
+    image = random_gaussian_blur(ks[4], image, (0.0, 0.8), prob=0.15)
+    image = random_gaussian_noise(ks[5], image, (0.0, 5.0), prob=0.15)
+    return image, mask
+
+
+def _d4_then(rest):
+    """Per-sample tier = uniform D4 geometric stage + photometric/warp rest.
+
+    Key discipline: ``k_geo, k_rest = split(key)``, tid from k_geo — the
+    batched path in :func:`augment_batch` replays exactly these draws, so
+    batched and per-sample augmentation are bit-identical (pinned in
+    tests/test_data.py)."""
+    def fn(key, image, mask):
+        k_geo, k_rest = jax.random.split(key)
+        image, mask = random_d4(k_geo, image, mask)
+        return rest(k_rest, image, mask)
+    return fn
+
+
+augment_pair_heavy = _d4_then(_rest_heavy)
+augment_pair_heavy.__doc__ = (
+    """(``data.py:148-191``) — for datasets <200 tiles.""")
+augment_pair_moderate = _d4_then(_rest_moderate)
+augment_pair_moderate.__doc__ = (
+    """(``data.py:194-232``) — for 100-500-tile datasets (default tier).""")
+augment_pair_light = _d4_then(_rest_light)
+augment_pair_light.__doc__ = (
+    """(``data.py:235-261``) — for >500-tile datasets.""")
+augment_pair_tta_style = _d4_then(_rest_tta_style)
+augment_pair_tta_style.__doc__ = (
     """(``data.py:264-339``): one of the 8 D4 TTA transforms (systematic) +
-    conservative photometrics — training-time mirror of test-time TTA."""
-    ks = jax.random.split(key, 7)
-    tid = jax.random.randint(ks[0], (), 0, 8)
-    image = apply_transform(image, tid)
-    mask = apply_transform(mask, tid)
-    image, mask = random_scale(ks[1], image, mask, (0.95, 1.05), prob=0.3)
-    image = _maybe(ks[2], lambda k, im: random_brightness(k, im, (0.85, 1.15)), image, 0.6)
-    image = _maybe(ks[3], lambda k, im: random_contrast(k, im, (0.85, 1.15)), image, 0.6)
-    image = _maybe(ks[4], lambda k, im: random_gamma(k, im, (0.85, 1.15)), image, 0.5)
-    image = random_gaussian_blur(ks[5], image, (0.0, 0.7), prob=0.15)
-    return image, mask
+    conservative photometrics — training-time mirror of test-time TTA.""")
 
 
 def augment_grayscale_classification(key, image):
     """Mask-free classifier-tile augmentation (``data.py:342-393``)."""
+    k_geo, k_rest = jax.random.split(key)
     dummy = jnp.zeros_like(image)
-    ks = jax.random.split(key, 8)
-    image, _ = random_rotation_90(ks[0], image, dummy)
-    image, _ = random_flip(ks[1], image, dummy)
-    image, _ = random_scale(ks[2], image, dummy, (0.95, 1.05), prob=0.3)
-    image = _maybe(ks[3], lambda k, im: random_brightness(k, im, (0.9, 1.1)), image, 0.6)
-    image = _maybe(ks[4], lambda k, im: random_contrast(k, im, (0.9, 1.1)), image, 0.6)
-    image = _maybe(ks[5], lambda k, im: random_gamma(k, im, (0.9, 1.1)), image, 0.5)
-    image = random_gaussian_blur(ks[6], image, (0.0, 0.8), prob=0.15)
-    image = random_gaussian_noise(ks[7], image, (0.0, 5.0), prob=0.15)
+    image, _ = random_d4(k_geo, image, dummy)
+    image, _ = _rest_classification(k_rest, image, dummy)
     return image
 
 
@@ -325,6 +371,15 @@ TIERS = {
     "tta-style": augment_pair_tta_style,  # reference spelling (:1514)
 }
 
+# Rest stages for the batched path (the D4 stage runs batch-level).
+_REST_TIERS = {
+    "light": _rest_light,
+    "moderate": _rest_moderate,
+    "heavy": _rest_heavy,
+    "tta_style": _rest_tta_style,
+    "tta-style": _rest_tta_style,
+}
+
 
 def select_tier(n_tiles: int) -> str:
     """Dataset-size-keyed tier choice (``data.py`` docstrings: <200 heavy,
@@ -336,16 +391,51 @@ def select_tier(n_tiles: int) -> str:
     return "light"
 
 
+def _split_batch_keys(key, n):
+    """Per-sample (k_geo, k_rest) pairs replaying the per-sample tier fns'
+    ``split(key)`` draw — keeps the batched path bit-identical to
+    ``vmap(TIERS[tier])``."""
+    keys = jax.random.split(key, n)
+    sub = jax.vmap(lambda k: jax.random.split(k))(keys)
+    return sub[:, 0], sub[:, 1]
+
+
+def batched_tier(key: jax.Array, images: jax.Array, masks: jax.Array,
+                 tier: str):
+    """Tier augmentation over a (B, H, W) batch, traceable inside other jits.
+
+    The D4 geometric stage runs batch-level (:func:`apply_transform_batch` —
+    one shared transpose instead of vmapped lax.switch rotations, which force
+    a 16×-padded batch-minor layout); the photometric/warp rest stage is
+    vmapped per sample. Bit-identical to ``vmap(TIERS[tier])`` over split
+    keys (tested)."""
+    rest = _REST_TIERS.get(tier)
+    if rest is None:  # 'none'
+        return images, masks
+    geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
+    tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
+    images = apply_transform_batch(images, tids)
+    masks = apply_transform_batch(masks, tids)
+    return jax.vmap(rest)(rest_keys, images, masks)
+
+
 @partial(jax.jit, static_argnames=("tier",))
 def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array,
                   tier: str = "moderate"):
-    """Vmapped tier augmentation over a (B, H, W) batch — one device program."""
-    fn = TIERS[tier]
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(fn)(keys, images, masks)
+    """Tier augmentation over a (B, H, W) batch — one device program."""
+    return batched_tier(key, images, masks, tier)
+
+
+def batched_classification(key: jax.Array, images: jax.Array):
+    """Batched classifier-tile augmentation, traceable inside other jits."""
+    geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
+    tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
+    images = apply_transform_batch(images, tids)
+    dummies = jnp.zeros_like(images)
+    out, _ = jax.vmap(_rest_classification)(rest_keys, images, dummies)
+    return out
 
 
 @jax.jit
 def augment_classification_batch(key: jax.Array, images: jax.Array):
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(augment_grayscale_classification)(keys, images)
+    return batched_classification(key, images)

@@ -65,6 +65,51 @@ def apply_transform(x: jax.Array, transform_id) -> jax.Array:
     return jax.lax.switch(jnp.asarray(transform_id, jnp.int32), _branches(), x)
 
 
+# Factorization of each transform id as flipH^a ∘ flipW^b ∘ transpose^t
+# (flips applied AFTER the optional transpose; verified against
+# apply_transform for all ids in tests/test_d4_blend.py). rot90 = flipH∘T,
+# rot270 = flipW∘T, id 5 (fliplr→rot90) = T itself, id 7 = flipH∘flipW∘T.
+_D4_TRANSPOSE = (0, 1, 0, 1, 0, 1, 0, 1)
+_D4_FLIP_H = (0, 1, 1, 0, 0, 0, 1, 1)
+_D4_FLIP_W = (0, 0, 1, 1, 1, 0, 0, 1)
+
+
+def apply_transform_batch(x: jax.Array, transform_ids: jax.Array) -> jax.Array:
+    """Per-sample D4 transforms over a (B, H, W) batch of SQUARE tiles.
+
+    TPU-native: ``vmap(apply_transform)`` with traced ids makes XLA's layout
+    assignment put the batch dim in the 128-lane position ({0,2,1}, a 16×
+    padding expansion at B=8) so the per-branch rot90 transposes become
+    bitcasts — and that layout then infects every downstream fusion (measured:
+    the 'moderate' augmentation tier spends 786 of 916 ms/batch in the
+    rot90/flip stage, and some ablations fail to even allocate). Factoring
+    every D4 element as flipH^a ∘ flipW^b ∘ T^t instead needs ONE shared
+    batched transpose plus three layout-preserving selects, with the batch
+    dim kept major throughout.
+    """
+    if x.ndim != 3 or x.shape[1] != x.shape[2]:
+        raise ValueError(f"apply_transform_batch needs (B, N, N), got {x.shape}")
+    from adipose_tpu.ops.pallas.layout import pin_default_layout
+
+    tids = jnp.asarray(transform_ids, jnp.int32)
+    t = jnp.asarray(_D4_TRANSPOSE, bool)[tids][:, None, None]
+    a = jnp.asarray(_D4_FLIP_H, bool)[tids][:, None, None]
+    b = jnp.asarray(_D4_FLIP_W, bool)[tids][:, None, None]
+    # pin: without it XLA bitcasts the transpose by assigning the batch-minor
+    # {0,2,1} layout (16× padded at B=8) to every downstream fusion — see
+    # ops/pallas/layout.py for the measurement.
+    xt = pin_default_layout(jnp.swapaxes(x, 1, 2))
+    y = jnp.where(t, xt, x)
+    y = jnp.where(a, y[:, ::-1, :], y)
+    return jnp.where(b, y[:, :, ::-1], y)
+
+
+def invert_transform_batch(x: jax.Array, transform_ids: jax.Array) -> jax.Array:
+    """Batched inverse of :func:`apply_transform_batch` (same id vector)."""
+    inv = jnp.asarray(INVERSE_IDS, jnp.int32)[jnp.asarray(transform_ids, jnp.int32)]
+    return apply_transform_batch(x, inv)
+
+
 def invert_transform(x: jax.Array, transform_id) -> jax.Array:
     """Apply the inverse of a transform id (for de-augmenting predictions)."""
     inv = jnp.asarray(INVERSE_IDS, jnp.int32)[jnp.asarray(transform_id, jnp.int32)]

@@ -26,7 +26,7 @@ import numpy as np
 from adipose_tpu.core.config import ClassifierConfig, TrainConfig
 from adipose_tpu.core.jitopts import infer_jit
 from adipose_tpu.core.seeding import key_for
-from adipose_tpu.data.augment import augment_grayscale_classification
+from adipose_tpu.data.augment import batched_classification
 from adipose_tpu.data.loader import ClassificationDataset, prefetch_batches
 from adipose_tpu.models.inception import (
     InceptionV3Classifier,
@@ -97,8 +97,7 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
         if percentile_norm:
             imgs = _percentile_norm_255(imgs, p_low, p_high)
         aug_key, drop_key = jax.random.split(rng)
-        keys = jax.random.split(aug_key, imgs.shape[0])
-        imgs = jax.vmap(augment_grayscale_classification)(keys, imgs)
+        imgs = batched_classification(aug_key, imgs)
         # resize 299² → 3ch → inception preprocess (:286-297)
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
         x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0

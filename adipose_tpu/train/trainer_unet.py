@@ -27,7 +27,7 @@ import numpy as np
 from adipose_tpu.core.config import TrainConfig, UNetConfig
 from adipose_tpu.core.jitopts import infer_jit, train_jit
 from adipose_tpu.core.seeding import key_for
-from adipose_tpu.data.augment import TIERS, augment_batch
+from adipose_tpu.data.augment import augment_batch, batched_tier
 from adipose_tpu.data.loader import TileDataset, prefetch_batches
 from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
 from adipose_tpu.models.unet import DilatedUNet, encoder_param_mask
@@ -57,16 +57,19 @@ def make_augment_step(tier: str):
 
     Measured on v5e: fusing augmentation into the training program slows the
     whole step 3.6× (4.3 vs 15.6 tiles/s at 1024² — the warp intermediates
-    inflate the train program's live set and wreck XLA's scheduling), while
-    augmentation alone runs at ~15k tiles/s. Two programs are the fast shape.
+    inflate the train program's live set and wreck XLA's scheduling). Two
+    programs are the fast shape. The batch goes through
+    :func:`adipose_tpu.data.augment.batched_tier` (batch-level D4 stage) —
+    the earlier ``vmap(TIERS[tier])`` form made XLA pick a 16×-padded
+    batch-minor layout for the whole program (measured 916 ms/batch at b8
+    'moderate' with forced-download timing; the batched-D4 form is the fix).
     """
 
     @partial(jax.jit, static_argnames=())
     def augment_step(key, images_u8, masks_u8):
         images = images_u8.astype(jnp.float32)
         masks = masks_u8.astype(jnp.float32)
-        keys = jax.random.split(key, images.shape[0])
-        return jax.vmap(TIERS[tier])(keys, images, masks)
+        return batched_tier(key, images, masks, tier)
 
     return augment_step
 
@@ -82,8 +85,7 @@ def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
         masks = masks_u8.astype(jnp.float32)
         if augment:  # legacy single-program path (slower; kept for dryrun)
             aug_key, drop_key = jax.random.split(rng)
-            keys = jax.random.split(aug_key, images.shape[0])
-            images, masks = jax.vmap(TIERS[tier])(keys, images, masks)
+            images, masks = batched_tier(aug_key, images, masks, tier)
         else:
             drop_key = rng
         if norm_method == "zscore":

@@ -26,6 +26,28 @@ class TestD4:
             got = np.asarray(d4.apply_transform(jnp.asarray(x), tid))
             assert np.array_equal(got, ref(tid, x)), f"transform {tid}"
 
+    def test_batched_transform_matches_per_sample(self, rng):
+        """apply_transform_batch's flip/transpose factorization must equal the
+        lax.switch form for every id (mixed ids within one batch)."""
+        import jax
+
+        x = jnp.asarray(rng.rand(8, 16, 16).astype(np.float32))
+        for tid in range(8):
+            want = np.stack([np.asarray(d4.apply_transform(im, tid)) for im in x])
+            got = np.asarray(d4.apply_transform_batch(x, jnp.full((8,), tid)))
+            assert np.array_equal(got, want), f"transform {tid}"
+        tids = jnp.asarray(rng.randint(0, 8, 8))
+        want = np.stack([
+            np.asarray(d4.apply_transform(im, int(t))) for im, t in zip(x, tids)])
+        assert np.array_equal(np.asarray(d4.apply_transform_batch(x, tids)), want)
+        # batched inverse roundtrip
+        y = d4.apply_transform_batch(x, tids)
+        back = d4.invert_transform_batch(y, tids)
+        assert np.array_equal(np.asarray(back), np.asarray(x))
+        # non-square batches are rejected (the factorization needs H == W)
+        with pytest.raises(ValueError):
+            d4.apply_transform_batch(jnp.zeros((2, 8, 16)), jnp.zeros((2,), jnp.int32))
+
     def test_involution(self, rng):
         x = jnp.asarray(rng.rand(16, 16).astype(np.float32))
         for tid in range(8):

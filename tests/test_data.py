@@ -78,6 +78,41 @@ class TestAugment:
         out = augment.augment_grayscale_classification(jax.random.PRNGKey(3), img)
         assert out.shape == img.shape
 
+    def test_batched_tier_bit_identical_to_per_sample(self, rng):
+        """The batch path (batch-level D4 + vmapped rest) must replay the
+        per-sample tier functions' key tree exactly — bit-identical outputs,
+        so the TPU layout fix cannot silently change training data."""
+        imgs = jnp.asarray((rng.rand(4, 32, 32) * 255).astype(np.float32))
+        masks = jnp.asarray((rng.rand(4, 32, 32) > 0.5).astype(np.float32))
+        key = jax.random.PRNGKey(11)
+        for tier in ["none", "light", "moderate", "heavy", "tta_style"]:
+            keys = jax.random.split(key, 4)
+            want = jax.vmap(augment.TIERS[tier])(keys, imgs, masks)
+            got = augment.batched_tier(key, imgs, masks, tier)
+            for w, g in zip(want, got):
+                assert np.array_equal(np.asarray(w), np.asarray(g)), tier
+
+    def test_batched_classification_bit_identical(self, rng):
+        imgs = jnp.asarray((rng.rand(4, 32, 32) * 255).astype(np.float32))
+        key = jax.random.PRNGKey(12)
+        keys = jax.random.split(key, 4)
+        want = jax.vmap(augment.augment_grayscale_classification)(keys, imgs)
+        got = augment.batched_classification(key, imgs)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+
+    def test_random_d4_uniform_over_group(self):
+        """random_d4 replaces the reference's rot90+flip composition; the 16
+        (k, lr, ud) combos hit each D4 element exactly twice, so a uniform
+        id ∈ [0, 8) is the same distribution (PARITY.md)."""
+        marker = jnp.asarray(
+            np.arange(16, dtype=np.float32).reshape(4, 4))
+        seen = set()
+        for i in range(256):
+            img, _ = augment.random_d4(
+                jax.random.PRNGKey(i), marker, marker)
+            seen.add(tuple(np.asarray(img).ravel().tolist()))
+        assert len(seen) == 8  # all 8 distinct D4 images occur
+
     def test_elastic_preserves_mean(self, pair):
         img, mask = pair
         di, dm = augment.elastic_transform(jax.random.PRNGKey(0), img, mask)
