@@ -194,20 +194,6 @@ def random_scale(key, image, mask, scale_range=(0.85, 1.15), prob=0.5):
     )
 
 
-def _shift_axis(img: jax.Array, s: int, axis: int) -> jax.Array:
-    """img shifted by s along axis with edge padding (static s ⇒ static slice)."""
-    n = img.shape[axis]
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (max(0, -s), max(0, s))
-    padded = jnp.pad(img, pad, mode="edge")
-    # after left-padding by max(0,−s), source position p+s sits at offset
-    # max(0,−s)+s = max(0, s) into the padded array
-    s_off = max(0, s)
-    idx = [slice(None), slice(None)]
-    idx[axis] = slice(s_off, s_off + n)
-    return padded[tuple(idx)]
-
-
 def _warp_axis(img: jax.Array, delta: jax.Array, axis: int, order: int,
                max_shift: int) -> jax.Array:
     """1-D warp along ``axis`` by a BOUNDED per-pixel displacement.
@@ -217,20 +203,33 @@ def _warp_axis(img: jax.Array, delta: jax.Array, axis: int, order: int,
     sum over 2·max_shift+1 statically-shifted copies — pure VPU selects that
     XLA fuses into one pass: out = Σ_s w_s(p)·img(p+s) with
     w_s = [⌊δ⌋=s](1−frac) + [⌊δ⌋=s−1]·frac (bilinear) or [round(δ)=s]
-    (nearest). Exact for |δ| ≤ max_shift.
+    (nearest). Exact for |δ| ≤ max_shift. The image is edge-padded ONCE and
+    every shift is a static slice of that one buffer (padding per shift
+    materializes 2·max_shift+1 separate copies).
     """
+    n = img.shape[axis]
+    hi = max_shift + (0 if order == 0 else 1)
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (max_shift, hi)
+    padded = jnp.pad(img, pad, mode="edge")
+
+    def shifted(s):
+        # source position p+s sits at offset max_shift+s into the padded axis
+        return jax.lax.slice_in_dim(padded, max_shift + s, max_shift + s + n,
+                                    axis=axis)
+
     if order == 0:
         k = jnp.round(delta)
         out = jnp.zeros_like(img)
         for s in range(-max_shift, max_shift + 1):
-            out = out + (k == s).astype(img.dtype) * _shift_axis(img, s, axis)
+            out = out + (k == s).astype(img.dtype) * shifted(s)
         return out
     k0 = jnp.floor(delta)
     f = (delta - k0).astype(img.dtype)
     out = jnp.zeros_like(img)
     for s in range(-max_shift, max_shift + 2):
         w = (k0 == s).astype(img.dtype) * (1.0 - f) + (k0 == s - 1).astype(img.dtype) * f
-        out = out + w * _shift_axis(img, s, axis)
+        out = out + w * shifted(s)
     return out
 
 
