@@ -88,10 +88,15 @@ def _percentile_norm_255(imgs, p_low: float, p_high: float):
 
 def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
                      p_low: float, p_high: float, stats_mask):
-    # NOTE: stays at the default scoped-VMEM budget — the 48 MiB train_jit
-    # budget that buys the 1024² U-Net step +3.5% measured 1151 vs 1165
-    # imgs/s on this 299² program (scripts/bench_classifier_train.py).
-    @partial(jax.jit, donate_argnums=(0,))
+    # 32 MiB scoped-VMEM budget (infer_jit): the Pallas u8-CDF percentile
+    # kernel needs ~24 MiB of scoped VMEM for its (1, 1024, 1024) f32
+    # blocks, so the full u8→norm→aug→resize→train program does NOT compile
+    # at the 16 MiB default ("Ran out of memory in memory space vmem ...
+    # 23.82M and limit 16.00M", measured 2026-08-18 at b32 AND b8). The
+    # 48 MiB train_jit budget measured 1151 vs 1165 imgs/s on the 299²
+    # core step (scripts/bench_classifier_train.py); 32 MiB measures the
+    # same within noise and is required for the percentile path.
+    @partial(infer_jit, donate_argnums=(0,))
     def step(state: TrainState, images_u8, labels, class_w, rng):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
