@@ -399,23 +399,50 @@ def _split_batch_keys(key, n):
     return sub[:, 0], sub[:, 1]
 
 
+def _pershard(mesh, batch: int) -> bool:
+    """True when a >1-device 'data' axis divides the batch — the augment
+    stage then runs per shard via shard_map: the D4 layout pin is a Pallas
+    custom call, which GSPMD cannot partition inside a sharded program."""
+    return (mesh is not None and "data" in mesh.axis_names
+            and mesh.shape["data"] > 1 and batch % mesh.shape["data"] == 0)
+
+
 def batched_tier(key: jax.Array, images: jax.Array, masks: jax.Array,
-                 tier: str):
+                 tier: str, mesh=None):
     """Tier augmentation over a (B, H, W) batch, traceable inside other jits.
 
     The D4 geometric stage runs batch-level (:func:`apply_transform_batch` —
     one shared transpose instead of vmapped lax.switch rotations, which force
     a 16×-padded batch-minor layout); the photometric/warp rest stage is
     vmapped per sample. Bit-identical to ``vmap(TIERS[tier])`` over split
-    keys (tested)."""
+    keys (tested).
+
+    ``mesh``: pass the active device mesh when the batch is sharded over a
+    >1-device 'data' axis — the whole stage then runs per shard under
+    shard_map (augmentation is per-sample, so results stay bit-identical:
+    the per-sample keys/ids are drawn globally and sharded in).
+    """
     rest = _REST_TIERS.get(tier)
     if rest is None:  # 'none'
         return images, masks
     geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
     tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
-    images = apply_transform_batch(images, tids)
-    masks = apply_transform_batch(masks, tids)
-    return jax.vmap(rest)(rest_keys, images, masks)
+
+    def stage(imgs, msks, tids_l, rest_l):
+        imgs = apply_transform_batch(imgs, tids_l)
+        msks = apply_transform_batch(msks, tids_l)
+        return jax.vmap(rest)(rest_l, imgs, msks)
+
+    if _pershard(mesh, images.shape[0]):
+        from jax.sharding import PartitionSpec as P
+
+        from adipose_tpu.ops.normalize import shard_map_unchecked
+
+        arr = P("data", None, None)
+        stage = shard_map_unchecked(stage, mesh=mesh,
+                                    in_specs=(arr, arr, P("data"), P("data")),
+                                    out_specs=(arr, arr))
+    return stage(images, masks, tids, rest_keys)
 
 
 @partial(jax.jit, static_argnames=("tier",))
@@ -425,14 +452,28 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array,
     return batched_tier(key, images, masks, tier)
 
 
-def batched_classification(key: jax.Array, images: jax.Array):
-    """Batched classifier-tile augmentation, traceable inside other jits."""
+def batched_classification(key: jax.Array, images: jax.Array, mesh=None):
+    """Batched classifier-tile augmentation, traceable inside other jits.
+    ``mesh`` as in :func:`batched_tier`."""
     geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
     tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
-    images = apply_transform_batch(images, tids)
-    dummies = jnp.zeros_like(images)
-    out, _ = jax.vmap(_rest_classification)(rest_keys, images, dummies)
-    return out
+
+    def stage(imgs, tids_l, rest_l):
+        imgs = apply_transform_batch(imgs, tids_l)
+        out, _ = jax.vmap(_rest_classification)(rest_l, imgs,
+                                                jnp.zeros_like(imgs))
+        return out
+
+    if _pershard(mesh, images.shape[0]):
+        from jax.sharding import PartitionSpec as P
+
+        from adipose_tpu.ops.normalize import shard_map_unchecked
+
+        stage = shard_map_unchecked(
+            stage, mesh=mesh,
+            in_specs=(P("data", None, None), P("data"), P("data")),
+            out_specs=P("data", None, None))
+    return stage(images, tids, rest_keys)
 
 
 @jax.jit

@@ -115,8 +115,50 @@ def batched_zscore_dataset(batch: jax.Array, mean: jax.Array, std: jax.Array) ->
     return zscore_dataset(batch, mean, std)
 
 
+def pershard_percentile_u8(images: jax.Array, p_low: float, p_high: float,
+                           mesh, interpret: bool | None = None) -> jax.Array:
+    """Run the u8-CDF percentile kernel once per 'data' shard via shard_map.
+
+    Pallas kernels lower to XLA custom calls, which GSPMD cannot partition —
+    inside a pjit'd program on a >1-device mesh the kernel must run on
+    per-shard blocks explicitly. The kernel is per-tile, so sharding the
+    batch axis is bit-exact vs the unsharded call (pinned in
+    tests/test_pallas.py on the virtual CPU mesh with the interpret kernel).
+    Axes other than 'data' (e.g. a spatial 'model' axis sharding H) are
+    gathered per shard by shard_map — the kernel needs whole tiles.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
+
+    spec = P("data", *([None] * (images.ndim - 1)))
+    fn = shard_map_unchecked(
+        lambda x: percentile_normalize_u8(x, p_low, p_high, interpret=interpret),
+        mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return fn(images)
+
+
+def shard_map_unchecked(f, mesh, in_specs, out_specs):
+    """shard_map with the varying-mesh-axes check off — Pallas calls inside
+    the body produce outputs without VMA annotations, which the check
+    rejects (`check_vma` in current JAX, `check_rep` in older)."""
+    from jax.experimental.shard_map import shard_map
+
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+def _data_axis_divides(mesh, batch: int) -> bool:
+    return (mesh is not None and "data" in mesh.axis_names
+            and mesh.shape["data"] > 1 and batch % mesh.shape["data"] == 0)
+
+
 def batched_percentile_unit_fast(images: jax.Array, p_low: float = 1.0,
-                                 p_high: float = 99.0) -> jax.Array:
+                                 p_high: float = 99.0, mesh=None) -> jax.Array:
     """Per-tile percentile stretch to [0, 1] for (B, H, W) batches, fast path.
 
     On TPU the exact 256-bin-CDF Pallas kernel replaces the per-tile
@@ -125,9 +167,17 @@ def batched_percentile_unit_fast(images: jax.Array, p_low: float = 1.0,
     inputs (e.g. post-augmentation floats) round to the nearest bin first
     (PARITY.md §Known deviations). Elsewhere, the float sort path
     (``src/utils/stain_normalization.py:379-407`` semantics).
+
+    ``mesh``: pass the active device mesh when this call sits inside a
+    sharded program — on a >1-device 'data' axis the kernel dispatches
+    per shard (:func:`pershard_percentile_u8`; custom calls are not
+    GSPMD-partitionable). Single-device meshes use the direct call.
     """
     if images.ndim == 3 and jax.default_backend() == "tpu":
         from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
 
-        return percentile_normalize_u8(jnp.round(images), p_low, p_high)
+        rounded = jnp.round(images)
+        if _data_axis_divides(mesh, images.shape[0]):
+            return pershard_percentile_u8(rounded, p_low, p_high, mesh)
+        return percentile_normalize_u8(rounded, p_low, p_high)
     return batched_percentile_unit(images, p_low, p_high)

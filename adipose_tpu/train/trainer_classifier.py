@@ -77,17 +77,17 @@ def compute_image_level_class_weights(
     return weights
 
 
-def _percentile_norm_255(imgs, p_low: float, p_high: float):
+def _percentile_norm_255(imgs, p_low: float, p_high: float, mesh=None):
     """Per-image percentile stretch back to [0, 255] — the shared TPU-fast
     dispatcher (:func:`adipose_tpu.ops.normalize.batched_percentile_unit_fast`:
     exact u8-CDF Pallas kernel on TPU, float sort elsewhere/for RGB)."""
     from adipose_tpu.ops.normalize import batched_percentile_unit_fast
 
-    return batched_percentile_unit_fast(imgs, p_low, p_high) * 255.0
+    return batched_percentile_unit_fast(imgs, p_low, p_high, mesh=mesh) * 255.0
 
 
 def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
-                     p_low: float, p_high: float, stats_mask):
+                     p_low: float, p_high: float, stats_mask, mesh=None):
     # 32 MiB scoped-VMEM budget (infer_jit): the Pallas u8-CDF percentile
     # kernel needs ~24 MiB of scoped VMEM for its (1, 1024, 1024) f32
     # blocks, so the full u8→norm→aug→resize→train program does NOT compile
@@ -100,9 +100,9 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
     def step(state: TrainState, images_u8, labels, class_w, rng):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            imgs = _percentile_norm_255(imgs, p_low, p_high)
+            imgs = _percentile_norm_255(imgs, p_low, p_high, mesh=mesh)
         aug_key, drop_key = jax.random.split(rng)
-        imgs = batched_classification(aug_key, imgs)
+        imgs = batched_classification(aug_key, imgs, mesh=mesh)
         # resize 299² → 3ch → inception preprocess (:286-297)
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
         x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
@@ -136,7 +136,7 @@ def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
 
 
 def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
-                              p_high: float = 99.0):
+                              p_high: float = 99.0, mesh=None):
     """(B, H, W) grayscale or (B, H, W, 3) RGB u8/float → (B, 299, 299, 3)
     inception-preprocessed.
 
@@ -154,7 +154,7 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
     def preprocess(images_u8):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
-            imgs = _percentile_norm_255(imgs, p_low, p_high)
+            imgs = _percentile_norm_255(imgs, p_low, p_high, mesh=mesh)
         if imgs.ndim == 4:  # (B, H, W, 3) RGB — legacy-classifier path, no tiling
             x = jax.image.resize(imgs, (imgs.shape[0], 299, 299, 3), "bilinear")
             return x / 127.5 - 1.0
@@ -164,8 +164,9 @@ def make_inception_preprocess(percentile_norm: bool = True, p_low: float = 1.0,
     return preprocess
 
 
-def _make_val_step(model, percentile_norm: bool, p_low: float, p_high: float):
-    pre = make_inception_preprocess(percentile_norm, p_low, p_high)
+def _make_val_step(model, percentile_norm: bool, p_low: float,
+                   p_high: float, mesh=None):
+    pre = make_inception_preprocess(percentile_norm, p_low, p_high, mesh=mesh)
 
     @infer_jit
     def step(params, batch_stats, images_u8):
@@ -286,10 +287,11 @@ class ClassifierTrainer:
         state = TrainState.create(params, tx, batch_stats)
         train_step = _make_train_step(
             self.model, self.label_smoothing, self.percentile_norm,
-            cfg.percentile_low, cfg.percentile_high, smask,
+            cfg.percentile_low, cfg.percentile_high, smask, mesh=self.mesh,
         )
         val_step = _make_val_step(
-            self.model, self.percentile_norm, cfg.percentile_low, cfg.percentile_high
+            self.model, self.percentile_norm, cfg.percentile_low,
+            cfg.percentile_high, mesh=self.mesh,
         )
         plateau = ReduceLROnPlateau(lr=lr, patience=patience, min_lr=1e-6)
         stopper = EarlyStopping(patience=patience + 2)

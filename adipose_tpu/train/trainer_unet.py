@@ -52,7 +52,7 @@ from adipose_tpu.train.state import (
 from adipose_tpu.ops import losses as L
 
 
-def make_augment_step(tier: str):
+def make_augment_step(tier: str, mesh=None):
     """Device-side batch augmentation as its OWN jit program.
 
     Measured on v5e: fusing augmentation into the training program slows the
@@ -69,13 +69,13 @@ def make_augment_step(tier: str):
     def augment_step(key, images_u8, masks_u8):
         images = images_u8.astype(jnp.float32)
         masks = masks_u8.astype(jnp.float32)
-        return batched_tier(key, images, masks, tier)
+        return batched_tier(key, images, masks, tier, mesh=mesh)
 
     return augment_step
 
 
 def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
-                           p_low: float, p_high: float):
+                           p_low: float, p_high: float, mesh=None):
     """Normalize + train in one jitted program (augment runs as a separate
     device program first — see :func:`make_augment_step`)."""
 
@@ -85,13 +85,14 @@ def _make_fused_train_step(model, loss_fn, tier: str, norm_method: str,
         masks = masks_u8.astype(jnp.float32)
         if augment:  # legacy single-program path (slower; kept for dryrun)
             aug_key, drop_key = jax.random.split(rng)
-            images, masks = batched_tier(aug_key, images, masks, tier)
+            images, masks = batched_tier(aug_key, images, masks, tier,
+                                          mesh=mesh)
         else:
             drop_key = rng
         if norm_method == "zscore":
             images = (images - mean) / (std + 1e-10)
         else:  # per-tile percentile (TileDataset :589-592); u8-CDF kernel on TPU
-            images = batched_percentile_unit_fast(images, p_low, p_high)
+            images = batched_percentile_unit_fast(images, p_low, p_high, mesh=mesh)
 
         def compute(params):
             out = model.apply(params, images, train=True, rngs={"dropout": drop_key})
@@ -122,7 +123,8 @@ def _looks_like_compile_oom(err: BaseException) -> bool:
     ))
 
 
-def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float):
+def _make_val_step(model, loss_fn, norm_method: str, p_low: float,
+                   p_high: float, mesh=None):
     @infer_jit
     def step(params, images_u8, masks_u8, mean, std):
         images = images_u8.astype(jnp.float32)
@@ -130,7 +132,7 @@ def _make_val_step(model, loss_fn, norm_method: str, p_low: float, p_high: float
         if norm_method == "zscore":
             images = (images - mean) / (std + 1e-10)
         else:
-            images = batched_percentile_unit_fast(images, p_low, p_high)
+            images = batched_percentile_unit_fast(images, p_low, p_high, mesh=mesh)
         out = model.apply(params, images, train=False)
         main = out["main_out"] if isinstance(out, dict) else out
         from adipose_tpu.ops.metrics import activation_stats
@@ -238,16 +240,16 @@ class UNetTrainer:
                 _make_fused_train_step(
                     self.model, self.loss_fn, augment_tier,
                     cfg.normalization_method, cfg.percentile_low,
-                    cfg.percentile_high,
+                    cfg.percentile_high, mesh=self.mesh,
                 ),
                 _make_val_step(
                     self.model, self.loss_fn, cfg.normalization_method,
-                    cfg.percentile_low, cfg.percentile_high,
+                    cfg.percentile_low, cfg.percentile_high, mesh=self.mesh,
                 ),
             )
 
         train_step, val_step = build_steps()
-        augment_step = make_augment_step(augment_tier)
+        augment_step = make_augment_step(augment_tier, mesh=self.mesh)
         warmup = cfg.warmup_epochs if phase == 1 else cfg.warmup_epochs_phase2
         schedule = (
             cosine_with_warmup(lr, min_lr, warmup, epochs)

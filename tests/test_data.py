@@ -651,3 +651,44 @@ class TestPrefetch:
         assert len(a) == len(b) == 3  # 9 tiles -> 3 padded batches
         for (ia, ma), (ib, mb) in zip(a, b):
             assert np.array_equal(ia, ib) and np.array_equal(ma, mb)
+
+
+class TestShardedAugment:
+    """The mesh-aware batch paths (shard_map per 'data' shard — the
+    multi-chip form, since the D4 layout pin is a Pallas custom call GSPMD
+    cannot partition) must be bit-identical to the unsharded paths."""
+
+    def test_batched_tier_sharded_matches_unsharded(self, rng):
+        from adipose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        imgs = jnp.asarray((rng.rand(8, 32, 32) * 255).astype(np.float32))
+        masks = jnp.asarray((rng.rand(8, 32, 32) > 0.5).astype(np.float32))
+        key = jax.random.PRNGKey(21)
+        for tier in ["moderate", "heavy", "tta_style"]:
+            want = augment.batched_tier(key, imgs, masks, tier)
+            got = augment.batched_tier(key, imgs, masks, tier, mesh=mesh)
+            for w, g in zip(want, got):
+                assert np.array_equal(np.asarray(w), np.asarray(g)), tier
+
+    def test_batched_classification_sharded_matches_unsharded(self, rng):
+        from adipose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        imgs = jnp.asarray((rng.rand(8, 32, 32) * 255).astype(np.float32))
+        key = jax.random.PRNGKey(22)
+        want = augment.batched_classification(key, imgs)
+        got = augment.batched_classification(key, imgs, mesh=mesh)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+
+    def test_indivisible_batch_falls_back(self, rng):
+        from adipose_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        imgs = jnp.asarray((rng.rand(3, 32, 32) * 255).astype(np.float32))
+        masks = jnp.asarray((rng.rand(3, 32, 32) > 0.5).astype(np.float32))
+        key = jax.random.PRNGKey(23)
+        want = augment.batched_tier(key, imgs, masks, "moderate")
+        got = augment.batched_tier(key, imgs, masks, "moderate", mesh=mesh)
+        for w, g in zip(want, got):
+            assert np.array_equal(np.asarray(w), np.asarray(g))

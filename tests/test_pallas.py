@@ -119,3 +119,30 @@ def test_diff_sigmoid_head_odd_height():
         jnp.einsum("bhwc,c->bhw", x, w, preferred_element_type=jnp.float32)
         - 0.1)
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-6
+
+
+def test_pershard_percentile_matches_direct(rng):
+    """shard_map-per-shard kernel dispatch (the multi-chip path: custom calls
+    are not GSPMD-partitionable) must be bit-identical to the direct call —
+    exercised on the 8-virtual-device CPU mesh with the interpret kernel."""
+    import jax
+    from adipose_tpu.ops.normalize import pershard_percentile_u8
+    from adipose_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    tiles = jnp.asarray(rng.randint(0, 256, (8, 64, 128)).astype(np.float32))
+    want = percentile_normalize_u8(tiles, 1.0, 99.0, interpret=True)
+    got = pershard_percentile_u8(tiles, 1.0, 99.0, mesh, interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+    # and under jit (how the trainers trace it)
+    got_j = jax.jit(
+        lambda x: pershard_percentile_u8(x, 1.0, 99.0, mesh, interpret=True)
+    )(tiles)
+    assert np.array_equal(np.asarray(got_j), np.asarray(want))
+
+
+def test_pin_default_layout_noop_off_tpu(rng):
+    from adipose_tpu.ops.pallas.layout import pin_default_layout
+
+    x = jnp.asarray(rng.rand(4, 16, 16).astype(np.float32))
+    assert pin_default_layout(x) is x
