@@ -22,12 +22,6 @@ WHITE_THRESHOLD = 235.0
 WHITE_RATIO = 0.70
 BLUR_THRESHOLD = 7.5
 
-# OpenCV's default 3×3 Laplacian kernel (cv2.Laplacian ksize=1 aperture).
-_LAPLACIAN = jnp.array(
-    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
-)
-
-
 @jax.jit
 def white_ratio(tile: jax.Array, threshold: float = WHITE_THRESHOLD) -> jax.Array:
     """Fraction of near-white pixels. Accepts (H, W) grayscale or (H, W, 3) RGB.
@@ -60,13 +54,16 @@ def laplacian_variance(tile: jax.Array) -> jax.Array:
     t = tile.astype(jnp.float32)
     if t.ndim == 3:
         t = _cv2_gray(t)
-    padded = jnp.pad(t, 1, mode="reflect")
-    resp = jax.lax.conv_general_dilated(
-        padded[None, None, :, :],
-        _LAPLACIAN[None, None, :, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
+    # Shift-and-add stencil instead of a C_in=1 conv: under vmap
+    # (classify_tiles_batch) XLA's conv layout assignment pushes the batch
+    # dim into the 128-lane position ({0,2,1}, 16× padded) and the choice
+    # infects the whole QC program — the same pathology measured for the
+    # augmentation field blur (see data/augment.py:_blur_fixed).
+    h, w = t.shape
+    p = jnp.pad(t, 1, mode="reflect")
+    resp = (p[0:h, 1:w + 1] + p[2:h + 2, 1:w + 1]
+            + p[1:h + 1, 0:w] + p[1:h + 1, 2:w + 2]
+            - 4.0 * t)
     return jnp.var(resp)
 
 
