@@ -399,12 +399,6 @@ def _split_batch_keys(key, n):
     return sub[:, 0], sub[:, 1]
 
 
-def _pershard(mesh, batch: int) -> bool:
-    """True when a >1-device 'data' axis divides the batch — the augment
-    stage then runs per shard via shard_map: the D4 layout pin is a Pallas
-    custom call, which GSPMD cannot partition inside a sharded program."""
-    return (mesh is not None and "data" in mesh.axis_names
-            and mesh.shape["data"] > 1 and batch % mesh.shape["data"] == 0)
 
 
 def batched_tier(key: jax.Array, images: jax.Array, masks: jax.Array,
@@ -422,9 +416,9 @@ def batched_tier(key: jax.Array, images: jax.Array, masks: jax.Array,
     shard_map (augmentation is per-sample, so results stay bit-identical:
     the per-sample keys/ids are drawn globally and sharded in).
     """
-    rest = _REST_TIERS.get(tier)
-    if rest is None:  # 'none'
+    if tier == "none":
         return images, masks
+    rest = _REST_TIERS[tier]  # unknown tiers raise, like TIERS[tier] did
     geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
     tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
 
@@ -433,10 +427,10 @@ def batched_tier(key: jax.Array, images: jax.Array, masks: jax.Array,
         msks = apply_transform_batch(msks, tids_l)
         return jax.vmap(rest)(rest_l, imgs, msks)
 
-    if _pershard(mesh, images.shape[0]):
-        from jax.sharding import PartitionSpec as P
+    from adipose_tpu.ops.normalize import mesh_needs_pershard, shard_map_unchecked
 
-        from adipose_tpu.ops.normalize import shard_map_unchecked
+    if mesh_needs_pershard(mesh, images.shape[0]):
+        from jax.sharding import PartitionSpec as P
 
         arr = P("data", None, None)
         stage = shard_map_unchecked(stage, mesh=mesh,
@@ -464,10 +458,10 @@ def batched_classification(key: jax.Array, images: jax.Array, mesh=None):
                                                 jnp.zeros_like(imgs))
         return out
 
-    if _pershard(mesh, images.shape[0]):
-        from jax.sharding import PartitionSpec as P
+    from adipose_tpu.ops.normalize import mesh_needs_pershard, shard_map_unchecked
 
-        from adipose_tpu.ops.normalize import shard_map_unchecked
+    if mesh_needs_pershard(mesh, images.shape[0]):
+        from jax.sharding import PartitionSpec as P
 
         stage = shard_map_unchecked(
             stage, mesh=mesh,

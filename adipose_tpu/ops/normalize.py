@@ -142,7 +142,10 @@ def shard_map_unchecked(f, mesh, in_specs, out_specs):
     """shard_map with the varying-mesh-axes check off — Pallas calls inside
     the body produce outputs without VMA annotations, which the check
     rejects (`check_vma` in current JAX, `check_rep` in older)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8 canonical location
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     try:
         return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -152,9 +155,14 @@ def shard_map_unchecked(f, mesh, in_specs, out_specs):
                          check_rep=False)
 
 
-def _data_axis_divides(mesh, batch: int) -> bool:
-    return (mesh is not None and "data" in mesh.axis_names
-            and mesh.shape["data"] > 1 and batch % mesh.shape["data"] == 0)
+def mesh_needs_pershard(mesh, batch: int) -> bool:
+    """True when Pallas dispatch must go per shard: the program spans >1
+    device (ANY axis — GSPMD cannot partition custom calls, including
+    model/spatial-sharded programs with data=1) and the 'data' axis divides
+    the batch so shard_map in_specs=P('data', ...) are well-formed."""
+    return (mesh is not None and getattr(mesh, "size", 1) > 1
+            and "data" in mesh.axis_names
+            and batch % mesh.shape["data"] == 0)
 
 
 def batched_percentile_unit_fast(images: jax.Array, p_low: float = 1.0,
@@ -177,7 +185,7 @@ def batched_percentile_unit_fast(images: jax.Array, p_low: float = 1.0,
         from adipose_tpu.ops.pallas.preprocess import percentile_normalize_u8
 
         rounded = jnp.round(images)
-        if _data_axis_divides(mesh, images.shape[0]):
+        if mesh_needs_pershard(mesh, images.shape[0]):
             return pershard_percentile_u8(rounded, p_low, p_high, mesh)
         return percentile_normalize_u8(rounded, p_low, p_high)
     return batched_percentile_unit(images, p_low, p_high)

@@ -41,7 +41,9 @@ def main():
         # (trainer_unet imports the symbol at module load)
         orig = TU.batched_percentile_unit_fast
         if not fast:
-            TU.batched_percentile_unit_fast = N.batched_percentile_unit
+            TU.batched_percentile_unit_fast = (
+                lambda imgs, p_low, p_high, mesh=None:
+                N.batched_percentile_unit(imgs, p_low, p_high))
         try:
             step = _make_fused_train_step(model, loss_fn, cfg.augment_level,
                                           "percentile", cfg.percentile_low,

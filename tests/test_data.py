@@ -692,3 +692,27 @@ class TestShardedAugment:
         got = augment.batched_tier(key, imgs, masks, "moderate", mesh=mesh)
         for w, g in zip(want, got):
             assert np.array_equal(np.asarray(w), np.asarray(g))
+
+    def test_model_axis_mesh_also_goes_pershard(self, rng):
+        """A spatial mesh with data=1, model>1 still spans >1 device — the
+        Pallas layout pin must go per shard there too (GSPMD cannot
+        partition custom calls regardless of which axis is sharded)."""
+        from jax.sharding import Mesh
+
+        devs = np.asarray(jax.devices()).reshape(1, 8)
+        mesh = Mesh(devs, ("data", "model"))
+        from adipose_tpu.ops.normalize import mesh_needs_pershard
+
+        assert mesh_needs_pershard(mesh, 4)
+        imgs = jnp.asarray((rng.rand(4, 32, 32) * 255).astype(np.float32))
+        masks = jnp.asarray((rng.rand(4, 32, 32) > 0.5).astype(np.float32))
+        key = jax.random.PRNGKey(31)
+        want = augment.batched_tier(key, imgs, masks, "moderate")
+        got = augment.batched_tier(key, imgs, masks, "moderate", mesh=mesh)
+        for w, g in zip(want, got):
+            assert np.array_equal(np.asarray(w), np.asarray(g))
+
+    def test_unknown_tier_raises(self):
+        with pytest.raises(KeyError):
+            augment.batched_tier(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8)),
+                                 jnp.zeros((2, 8, 8)), "modrate")
