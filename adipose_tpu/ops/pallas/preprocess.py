@@ -10,7 +10,12 @@ ONCE into VMEM and produce everything in that single residency:
 
   * :func:`fused_zscore_normalize` — mean, var, white-ratio AND the
     dataset-z-scored output in one pass (grid over the batch; one 1024²
-    f32 tile block = 4 MB in + 4 MB out, well inside the ~16 MB VMEM/core);
+    f32 tile block = 4 MB in + 4 MB out, well inside the ~16 MB VMEM/core).
+    MEASURED A WASH vs plain jnp (scripts/bench_preprocess.py, 2026-08-19:
+    7 152 vs 7 398 tiles/s at b64 with forced-download timing) — XLA already
+    fuses the three reductions + z-score into one HBM pass. Kept as an
+    exported alternative; NOT used by any production path. The percentile
+    kernel below is the one that wins (4.6× vs the sort, BASELINE.md);
   * :func:`histogram_u8` — 256-bin histogram per tile, computed as a
     bins×lanes VPU comparison reduction (no scatter needed on TPU);
   * :func:`percentile_normalize_u8` — exact percentile stretch for uint8
