@@ -92,6 +92,29 @@ def finalize_blend_u8(acc: jax.Array, wsum: jax.Array) -> jax.Array:
     return (jnp.clip(p, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("height", "out_dtype"))
+def finalize_blend_stripe(acc: jax.Array, wsum: jax.Array, y_start,
+                          height: int, out_dtype: str = "uint8") -> jax.Array:
+    """Finalize one canvas row-stripe ``[y_start, y_start + height)``.
+
+    Same arithmetic as :func:`finalize_blend` / :func:`finalize_blend_u8`
+    restricted to a row band. ``y_start`` is traced (all equal-height stripes
+    share one compiled program); ``height`` is static. The WSI pipeline uses
+    this to finalize — and start downloading — canvas stripes whose
+    contributing tile rows are already segmented, overlapping the
+    device->host transfer with the remaining segmentation compute
+    (tiles never reach a stripe from a later tile row: row r+1 starts at or
+    below the stripe boundary, the same invariant as
+    ``wsi/reconstruct.py`` striped blending).
+    """
+    a = jax.lax.dynamic_slice_in_dim(acc, y_start, height, axis=0)
+    w = jax.lax.dynamic_slice_in_dim(wsum, y_start, height, axis=0)
+    p = a / jnp.maximum(w, 1e-8)
+    if out_dtype == "uint8":
+        return (jnp.clip(p, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return p.astype(jnp.dtype(out_dtype))
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def blend_tiles(
     tiles: jax.Array,

@@ -34,6 +34,7 @@ from adipose_tpu.ops.blend import (
     accumulate_weights,
     extract_tiles,
     finalize_blend,
+    finalize_blend_stripe,
     finalize_blend_u8,
     gaussian_weight_map,
     sliding_window_positions,
@@ -192,29 +193,88 @@ class DualModelWSIPipeline:
         timings["blend_weights_s"] = time.time() - t0
 
         t0 = time.time()
-        if positive.any():
-            for idx, n in chunk_indices(np.flatnonzero(positive)):
+        prob_u8 = None
+        pos_idx = np.flatnonzero(positive)
+        if self.mesh is None:
+            # Stripe-pipelined finalize+download. Canvas rows
+            # [row_starts[s], bounds[s+1]) receive contributions only from
+            # tile rows <= s (tile row s+1 starts at the stripe boundary —
+            # the same invariant as wsi/reconstruct.py striped blending), so
+            # each stripe can finalize — and start its device->host
+            # transfer — as soon as the last segment chunk touching tile
+            # rows <= s is dispatched. Positive indices are row-major, so
+            # that is a chunk-count prefix; the tunnel download of finished
+            # stripes then overlaps the remaining segmentation compute
+            # instead of serializing after it.
+            ys = positions[:, 0]
+            row_starts = np.unique(ys)
+            bounds = np.append(row_starts, gray.shape[0])
+            need = np.ceil(
+                np.searchsorted(ys[pos_idx], row_starts, side="right") / b
+            ).astype(int)
+            stripes = []
+            next_s = 0
+
+            def flush(done_chunks):
+                nonlocal next_s
+                while next_s < len(row_starts) and need[next_s] <= done_chunks:
+                    y0, y1 = int(bounds[next_s]), int(bounds[next_s + 1])
+                    arr = finalize_blend_stripe(
+                        acc, wsum, y0, y1 - y0, out_dtype=self.transfer_dtype)
+                    arr.copy_to_host_async()
+                    stripes.append(arr)
+                    next_s += 1
+
+            # wsum updates are already enqueued ahead of any finalize; the
+            # device executes in dispatch order, and a stripe read of `acc`
+            # is enqueued before the next chunk's donating accumulate, so
+            # donation cannot clobber it.
+            flush(0)
+            done = 0
+            for idx, n in chunk_indices(pos_idx):
                 seg_chunk = self.segmenter_predict(
                     self.segmenter_params, as_f32(get_tiles(idx)))
                 valid = jnp.asarray(np.arange(b) < n, jnp.float32)
                 acc = accumulate_predictions(
                     acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
                     self.weight_map, valid)
-        # dispatch is async: block here so segment_s measures segmentation,
-        # not the later finalize sync
-        acc.block_until_ready()
-        timings["segment_s"] = time.time() - t0
+                done += 1
+                flush(done)
+            # dispatch is async: block so segment_s measures segmentation
+            # (stripe downloads keep streaming meanwhile)
+            acc.block_until_ready()
+            timings["segment_s"] = time.time() - t0
 
-        t0 = time.time()
-        prob_u8 = None
-        if self.transfer_dtype == "uint8":
-            prob_u8 = np.asarray(finalize_blend_u8(acc, wsum))[:h, :w]
-            full = prob_u8.astype(np.float32) / 255.0
+            t0 = time.time()
+            full_arr = np.concatenate([np.asarray(s) for s in stripes])
+            if self.transfer_dtype == "uint8":
+                prob_u8 = full_arr[:h, :w]
+                full = prob_u8.astype(np.float32) / 255.0
+            else:
+                full = full_arr[:h, :w].astype(np.float32)
         else:
-            out = finalize_blend(acc, wsum)
-            if self.transfer_dtype == "float16":
-                out = out.astype(jnp.float16)
-            full = np.asarray(out)[:h, :w].astype(np.float32)
+            if len(pos_idx):
+                for idx, n in chunk_indices(pos_idx):
+                    seg_chunk = self.segmenter_predict(
+                        self.segmenter_params, as_f32(get_tiles(idx)))
+                    valid = jnp.asarray(np.arange(b) < n, jnp.float32)
+                    acc = accumulate_predictions(
+                        acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
+                        self.weight_map, valid)
+            # dispatch is async: block here so segment_s measures
+            # segmentation, not the later finalize sync
+            acc.block_until_ready()
+            timings["segment_s"] = time.time() - t0
+
+            t0 = time.time()
+            if self.transfer_dtype == "uint8":
+                prob_u8 = np.asarray(finalize_blend_u8(acc, wsum))[:h, :w]
+                full = prob_u8.astype(np.float32) / 255.0
+            else:
+                out = finalize_blend(acc, wsum)
+                if self.transfer_dtype == "float16":
+                    out = out.astype(jnp.float16)
+                full = np.asarray(out)[:h, :w].astype(np.float32)
         timings["blend_s"] = time.time() - t0 + timings.pop("blend_weights_s")
 
         return PipelineResult(

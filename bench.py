@@ -83,6 +83,13 @@ def _preflight() -> None:
 
 _WATCHDOG = None
 
+# Phase-aware timeouts: remote compilation varies enormously by tunnel day
+# (a trivial jit program measured 59.6 s on 2026-08-19 vs ~1 s on good days;
+# the U-Net compile is 1-5 min on good days). Warmup gets the generous
+# budget; the steady-state measurement re-arms a tight one.
+_COMPILE_TIMEOUT_S = int(os.environ.get("BENCH_COMPILE_TIMEOUT_S", "2400"))
+_MEASURE_TIMEOUT_S = int(os.environ.get("BENCH_MEASURE_TIMEOUT_S", "480"))
+
 
 def _watchdog(seconds: int = 480) -> None:
     """Print an honest error line and exit if the accelerator is unreachable.
@@ -106,6 +113,8 @@ def _watchdog(seconds: int = 480) -> None:
         os._exit(2)
 
     global _WATCHDOG
+    if _WATCHDOG is not None:
+        _WATCHDOG.cancel()
     _WATCHDOG = threading.Timer(seconds, bail)
     _WATCHDOG.daemon = True
     _WATCHDOG.start()
@@ -113,7 +122,7 @@ def _watchdog(seconds: int = 480) -> None:
 
 def main() -> None:
     _preflight()
-    _watchdog()
+    _watchdog(_COMPILE_TIMEOUT_S)  # warmup/compile budget; re-armed below
     import jax
     import jax.numpy as jnp
 
@@ -139,11 +148,15 @@ def main() -> None:
         for _ in range(3)
     ]
 
-    for b in batches[:WARMUP]:
+    t_warm = time.monotonic()
+    for i, b in enumerate(batches[:WARMUP]):
         out = predict(params, b)
         out.block_until_ready()
         _ = float(out[0, 0, 0])  # pre-compile the scalar-pull sync program
+        print(f"# warmup {i + 1}/{WARMUP} done at "
+              f"+{time.monotonic() - t_warm:.1f}s", flush=True)
 
+    _watchdog(_MEASURE_TIMEOUT_S)  # compile done; tight budget for the loop
     t0 = time.perf_counter()
     outs = [predict(params, batches[i % 3]) for i in range(ITERS)]
     for out in outs:

@@ -288,6 +288,53 @@ class TestDualModelPipeline:
         np.testing.assert_allclose(
             u8.probability_map, u8.probability_u8 / 255.0, atol=1e-7)
 
+    def test_striped_finalize_matches_oracle(self, rng):
+        """The stripe-pipelined finalize+download (multi-chunk, mid-loop
+        stripe flushes, mixed gating, clamped last row/col) reproduces the
+        full-canvas blend computed directly in numpy."""
+        from adipose_tpu.ops import blend as B
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        img = (rng.rand(200, 136) * 255).astype(np.uint8)
+        img[120:, :] //= 4  # dark bottom band -> negative tiles there
+        t, ov, th = 64, 0.25, 0.4
+
+        def classifier(v, tiles):
+            return jnp.mean(tiles, axis=(1, 2)) / 255.0
+
+        def segmenter(p, tiles):
+            return jax.nn.sigmoid((tiles - 100.0) / 30.0)
+
+        pipe = DualModelWSIPipeline(
+            classifier, None, segmenter, None,
+            tile_size=t, overlap=ov, batch_size=3, classifier_threshold=th,
+            white_threshold=256.0, blur_threshold=0.0,  # QC passes all
+            transfer_dtype="uint8")
+        res = pipe.run(img)
+
+        positions = B.sliding_window_positions(img.shape, t, ov)
+        wm = np.asarray(B.gaussian_weight_map(t, 0.25), np.float32)
+        acc = np.zeros(img.shape, np.float32)
+        ws = np.zeros(img.shape, np.float32)
+        n_pos = 0
+        for y, x in positions:
+            tile = img[y:y + t, x:x + t].astype(np.float32)
+            ws[y:y + t, x:x + t] += wm
+            if tile.mean() / 255.0 >= th:
+                n_pos += 1
+                pred = 1.0 / (1.0 + np.exp(-(tile - 100.0) / 30.0))
+                acc[y:y + t, x:x + t] += pred * wm
+        expected = acc / np.maximum(ws, 1e-8)
+        exp_u8 = (np.clip(expected, 0, 1) * 255.0).astype(np.uint8)
+
+        assert res.n_positive == n_pos and 0 < n_pos < res.n_tiles
+        # +-1 u8 step: the truncating *255 cast can flip at integer
+        # boundaries between np.exp and the device sigmoid
+        diff = res.probability_u8.astype(int) - exp_u8.astype(int)
+        assert np.abs(diff).max() <= 1 and (diff == 0).mean() > 0.99
+        np.testing.assert_allclose(res.probability_map,
+                                   res.probability_u8 / 255.0, atol=1e-7)
+
     def test_run_file_uint8_writes_payload_verbatim(self, tmp_path, rng):
         from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
 
