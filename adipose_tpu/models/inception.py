@@ -56,7 +56,12 @@ class ConvBN(nn.Module):
 
 
 def _avg_pool_same(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+    # count_include_pad=False: Keras AveragePooling2D('same') divides by the
+    # number of VALID cells in each window, not the full 3×3 — border pixels
+    # differ otherwise (caught by the TF-oracle forward parity test; the
+    # include-pad variant drifted the classifier probability by ~1.7e-2).
+    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME",
+                       count_include_pad=False)
 
 
 def _max_pool_valid(x):

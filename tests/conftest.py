@@ -13,6 +13,13 @@ import os
 # plugin), so setdefault would silently leave tests running on the single
 # remote TPU — slow, and concurrent test processes deadlock on it.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# TF-oracle tests (test_tf_oracle.py) import the reference scripts, which do
+# `from tensorflow.keras import ...` — that must resolve to tf_keras (Keras 2
+# API), and the switch is only honored if set before tensorflow ever loads.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -179,17 +179,25 @@ class TestTFImport:
         for path, arr in expected.items():
             assert np.array_equal(np.asarray(got[path]), arr), path
 
-    @pytest.mark.parametrize("layout", ["keras2", "keras3"])
+    @pytest.mark.parametrize("layout", ["keras2", "generic"])
     def test_inception_import_roundtrip(self, tmp_path, layout):
         """Synthetic Keras-layout InceptionV3 weights round-trip: conv kernels,
-        BN beta→params.bias, BN moving stats→batch_stats mean/var (Keras var
-        creation order beta, moving_mean, moving_variance — scale=False), and
-        the adipose_score head (train_adipose_classifier_v0.py:312-353)."""
+        BN beta→params.bias, BN moving stats→batch_stats mean/var, and the
+        adipose_score head (train_adipose_classifier_v0.py:312-353).
+
+        ``keras2`` = legacy by-name HDF5 (auto names in creation order);
+        ``generic`` = tf_keras≥2.16/Keras-3 ``layers/<class>_<k>/vars`` whose
+        k is model.layers (topological) order — group k holds creation index
+        ``INCEPTION_TOPO_PERM[k]``'s weights, mirroring real saved files
+        (verified by tests/test_tf_oracle.py against actual tf_keras saves)."""
         import h5py
 
         import flax
         from adipose_tpu.models import InceptionV3Classifier
-        from adipose_tpu.models.tf_import import import_inception_weights
+        from adipose_tpu.models.tf_import import (
+            INCEPTION_TOPO_PERM,
+            import_inception_weights,
+        )
 
         model = InceptionV3Classifier(dtype=jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
@@ -203,36 +211,46 @@ class TestTFImport:
                 lg = group.require_group(keras_name).require_group(keras_name)
                 for name, arr in datasets:
                     lg.create_dataset(name, data=arr)
-            else:  # keras-3: layers/<name>/vars/{0..}, creation order
+            else:  # generic: layers/<name>/vars/{0..}, weights-order datasets
                 lg = group.require_group(keras_name).require_group("vars")
                 for j, (_, arr) in enumerate(datasets):
                     lg.create_dataset(str(j), data=arr)
+
+        def draw(i):
+            """Seeded tensors for creation index i (draw order = creation)."""
+            kkey = ("backbone", f"cbn_{i}", "conv", "kernel")
+            k = rng.randn(*params[kkey].shape).astype(np.float32)
+            c = params[kkey].shape[-1]
+            beta = rng.randn(c).astype(np.float32)
+            mean = rng.randn(c).astype(np.float32)
+            var = (rng.rand(c) + 0.5).astype(np.float32)
+            return k, beta, mean, var
 
         with h5py.File(h5_path, "w") as f:
             g = f.create_group("model_weights" if layout == "keras2" else "layers")
             n_convs = len({p[1] for p in params
                            if p[0] == "backbone" and p[1].startswith("cbn_")})
             assert n_convs == 94
-            for i in range(n_convs):
-                cname = "conv2d" if i == 0 else f"conv2d_{i}"
-                bname = ("batch_normalization" if i == 0
-                         else f"batch_normalization_{i}")
-                kkey = ("backbone", f"cbn_{i}", "conv", "kernel")
-                k = rng.randn(*params[kkey].shape).astype(np.float32)
+            tensors = {i: draw(i) for i in range(n_convs)}
+            for slot in range(n_convs):
+                # legacy names are creation-ordered; generic group k holds the
+                # PERM[k]-th created layer
+                i = slot if layout == "keras2" else INCEPTION_TOPO_PERM[slot]
+                k, beta, mean, var = tensors[i]
+                cname = "conv2d" if slot == 0 else f"conv2d_{slot}"
+                bname = ("batch_normalization" if slot == 0
+                         else f"batch_normalization_{slot}")
                 put(g, cname, [("kernel:0", k)])
-                expected_p[kkey] = k
-                c = params[kkey].shape[-1]
-                beta = rng.randn(c).astype(np.float32)
-                mean = rng.randn(c).astype(np.float32)
-                var = (rng.rand(c) + 0.5).astype(np.float32)
                 put(g, bname, [("beta:0", beta), ("moving_mean:0", mean),
                                ("moving_variance:0", var)])
+                expected_p[("backbone", f"cbn_{i}", "conv", "kernel")] = k
                 expected_p[("backbone", f"cbn_{i}", "bn", "bias")] = beta
                 expected_s[("backbone", f"cbn_{i}", "bn", "mean")] = mean
                 expected_s[("backbone", f"cbn_{i}", "bn", "var")] = var
             hk = rng.randn(*params[("adipose_score", "kernel")].shape).astype(np.float32)
             hb = rng.randn(*params[("adipose_score", "bias")].shape).astype(np.float32)
-            put(g, "adipose_score", [("kernel:0", hk), ("bias:0", hb)])
+            put(g, "adipose_score" if layout == "keras2" else "dense",
+                [("kernel:0", hk), ("bias:0", hb)])
             expected_p[("adipose_score", "kernel")] = hk
             expected_p[("adipose_score", "bias")] = hb
 
