@@ -195,42 +195,14 @@ class DualModelWSIPipeline:
         t0 = time.time()
         prob_u8 = None
         pos_idx = np.flatnonzero(positive)
-        if self.mesh is None:
-            # Stripe-pipelined finalize+download. Canvas rows
-            # [row_starts[s], bounds[s+1]) receive contributions only from
-            # tile rows <= s (tile row s+1 starts at the stripe boundary —
-            # the same invariant as wsi/reconstruct.py striped blending), so
-            # each stripe can finalize — and start its device->host
-            # transfer — as soon as the last segment chunk touching tile
-            # rows <= s is dispatched. Positive indices are row-major, so
-            # that is a chunk-count prefix; the tunnel download of finished
-            # stripes then overlaps the remaining segmentation compute
-            # instead of serializing after it.
-            ys = positions[:, 0]
-            row_starts = np.unique(ys)
-            bounds = np.append(row_starts, gray.shape[0])
-            need = np.ceil(
-                np.searchsorted(ys[pos_idx], row_starts, side="right") / b
-            ).astype(int)
-            stripes = []
-            next_s = 0
 
-            def flush(done_chunks):
-                nonlocal next_s
-                while next_s < len(row_starts) and need[next_s] <= done_chunks:
-                    y0, y1 = int(bounds[next_s]), int(bounds[next_s + 1])
-                    arr = finalize_blend_stripe(
-                        acc, wsum, y0, y1 - y0, out_dtype=self.transfer_dtype)
-                    arr.copy_to_host_async()
-                    stripes.append(arr)
-                    next_s += 1
-
-            # wsum updates are already enqueued ahead of any finalize; the
-            # device executes in dispatch order, and a stripe read of `acc`
-            # is enqueued before the next chunk's donating accumulate, so
-            # donation cannot clobber it.
-            flush(0)
+        def segment_chunks(acc, on_chunk_done=None):
+            """Shared per-chunk segment+accumulate loop (both finalize
+            strategies); ``on_chunk_done(done_count, acc)`` is the striped
+            path's flush hook."""
             done = 0
+            if on_chunk_done is not None:
+                on_chunk_done(0, acc)
             for idx, n in chunk_indices(pos_idx):
                 seg_chunk = self.segmenter_predict(
                     self.segmenter_params, as_f32(get_tiles(idx)))
@@ -239,28 +211,73 @@ class DualModelWSIPipeline:
                     acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
                     self.weight_map, valid)
                 done += 1
-                flush(done)
+                if on_chunk_done is not None:
+                    on_chunk_done(done, acc)
+            return acc
+
+        # NOTE on timings: in the striped (mesh=None) path the final-map
+        # device->host transfer overlaps segmentation, so segment_s absorbs
+        # most of what the mesh path reports as blend_s; the 'striped' key
+        # marks which attribution a log used.
+        timings["striped"] = self.mesh is None
+        if self.mesh is None:
+            # Stripe-pipelined finalize+download: a canvas stripe
+            # [y0, y0+hs) receives contributions only from tiles whose row
+            # start is < y0+hs (rows at/below the bound start past it — the
+            # same invariant as wsi/reconstruct.py striped blending), so it
+            # can finalize — and start its device->host transfer — as soon
+            # as the last positive chunk below the bound is dispatched.
+            # Positive indices are row-major, so that is a chunk-count
+            # prefix; the tunnel download of finished stripes then overlaps
+            # the remaining segmentation compute instead of serializing
+            # after it. All stripes share ONE static height (the tile-row
+            # stride, with starts clamped to the canvas) so the finalize
+            # program compiles exactly once — variable last-stripe heights
+            # previously triggered up to 3 multi-minute remote compiles
+            # mid-segmentation; clamped stripes overlap their predecessor
+            # and finalize those rows to identical values.
+            H = gray.shape[0]
+            ys = positions[:, 0]
+            row_starts = np.unique(ys)
+            hs = int(row_starts[1] - row_starts[0]) if len(row_starts) > 1 else H
+            y0s = np.unique(np.minimum(np.arange(0, H, hs), H - hs))
+            need = np.ceil(
+                np.searchsorted(ys[pos_idx], y0s + hs, side="left") / b
+            ).astype(int)
+            stripes = []
+            next_s = 0
+
+            # wsum updates are already enqueued ahead of any finalize; the
+            # device executes in dispatch order, and a stripe read of `acc`
+            # is enqueued before the next chunk's donating accumulate, so
+            # donation cannot clobber it.
+            def flush(done_chunks, acc_now):
+                nonlocal next_s
+                while next_s < len(y0s) and need[next_s] <= done_chunks:
+                    y0 = int(y0s[next_s])
+                    arr = finalize_blend_stripe(
+                        acc_now, wsum, y0, hs, out_dtype=self.transfer_dtype)
+                    arr.copy_to_host_async()
+                    stripes.append((y0, arr))
+                    next_s += 1
+
+            acc = segment_chunks(acc, flush)
             # dispatch is async: block so segment_s measures segmentation
             # (stripe downloads keep streaming meanwhile)
             acc.block_until_ready()
             timings["segment_s"] = time.time() - t0
 
             t0 = time.time()
-            full_arr = np.concatenate([np.asarray(s) for s in stripes])
+            buf = np.empty(gray.shape, dtype=np.asarray(stripes[0][1]).dtype)
+            for y0, arr in stripes:
+                buf[y0 : y0 + hs] = np.asarray(arr)
             if self.transfer_dtype == "uint8":
-                prob_u8 = full_arr[:h, :w]
+                prob_u8 = buf[:h, :w]
                 full = prob_u8.astype(np.float32) / 255.0
             else:
-                full = full_arr[:h, :w].astype(np.float32)
+                full = buf[:h, :w].astype(np.float32)
         else:
-            if len(pos_idx):
-                for idx, n in chunk_indices(pos_idx):
-                    seg_chunk = self.segmenter_predict(
-                        self.segmenter_params, as_f32(get_tiles(idx)))
-                    valid = jnp.asarray(np.arange(b) < n, jnp.float32)
-                    acc = accumulate_predictions(
-                        acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
-                        self.weight_map, valid)
+            acc = segment_chunks(acc)
             # dispatch is async: block here so segment_s measures
             # segmentation, not the later finalize sync
             acc.block_until_ready()

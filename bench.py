@@ -25,6 +25,13 @@ import time
 import numpy as np
 
 REFERENCE_TILES_PER_SEC = 5.0  # documented estimate, see module docstring
+# MEASURED (r3): the reference's actual per-tile model.predict eval loop under
+# tf_keras 2.21 on THIS host's CPU (1 core, no CUDA): 41.15 s/tile = 0.024
+# tiles/s (batched b4 forward: 0.061 tiles/s). scripts/bench_reference_tf.py;
+# full numbers in scripts/reference_tf_bench.json and BASELINE.md. This is a
+# same-host floor, not the reference's GPU operating point — both ratios are
+# reported.
+REFERENCE_MEASURED_CPU_TILES_PER_SEC = 0.024
 
 TILE = 1024
 # batch sweep on v5e (pre-decoder-fusion build): b4 37.2, b8 59.1, b16 66.1;
@@ -174,7 +181,13 @@ def main() -> None:
         "metric": f"unet_{TILE}px_tiles_per_sec",
         "value": round(tiles_per_sec, 3),
         "unit": "tiles/s/chip",
+        # vs the ~5 tiles/s documented GPU estimate (module docstring)
         "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC, 3),
+        # vs the reference's MEASURED per-tile predict loop on this host's
+        # CPU (scripts/bench_reference_tf.py — labeled: same host, no CUDA)
+        "baseline_measured_cpu_tiles_per_sec": REFERENCE_MEASURED_CPU_TILES_PER_SEC,
+        "vs_baseline_measured_cpu": round(
+            tiles_per_sec / REFERENCE_MEASURED_CPU_TILES_PER_SEC, 1),
     }))
 
 
