@@ -342,6 +342,10 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--percentile-low", type=float, default=1.0)
     tc.add_argument("--percentile-high", type=float, default=99.0)
     tc.add_argument("--use-class-weights", action="store_true")
+    tc.add_argument("--augment-low-res", action="store_true",
+                    help="augment AFTER the 299 resize (~1.7x faster prep; "
+                         "opt-in deviation, PARITY.md #15 — the reference "
+                         "augments at native resolution)")
     tc.add_argument("--pos-weight-multiplier", type=float, default=1.0)
     tc.add_argument("--save-best-only", dest="save_best_only",
                     action="store_true", default=True)
@@ -1048,6 +1052,7 @@ def cmd_train_classifier(args):
         train_split=args.train_split, val_split=args.val_split,
         patience=args.patience, save_best_only=args.save_best_only,
         pretrained_weights=args.pretrained_weights,
+        augment_low_res=args.augment_low_res,
     )
     from adipose_tpu.core.profiling import trace
 

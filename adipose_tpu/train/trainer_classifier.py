@@ -9,7 +9,11 @@ Behavioral spec: ``Classification/train_adipose_classifier_v0.py:410-512``:
   SLIDES contribute to each class, not tile counts;
   per-tile percentile normalization before augmentation (:251-298);
   input pipeline: grayscale → percentile-norm → augment → resize 299² → 3-ch
-  tile → inception preprocess — here all fused on device.
+  tile → inception preprocess — here all on device, as its own jitted
+  program software-pipelined one batch ahead of the 299² train step
+  (stably ~230 imgs/s b32, ≥ the fused single program within runtime noise
+  and immune to the unpipelined split's multi-second dispatch pathology;
+  521.9 imgs/s with opt-in --augment-low-res — BASELINE.md r3).
 """
 
 from __future__ import annotations
@@ -86,26 +90,52 @@ def _percentile_norm_255(imgs, p_low: float, p_high: float, mesh=None):
     return batched_percentile_unit_fast(imgs, p_low, p_high, mesh=mesh) * 255.0
 
 
-def _make_train_step(model, label_smoothing: float, percentile_norm: bool,
-                     p_low: float, p_high: float, stats_mask, mesh=None):
-    # 32 MiB scoped-VMEM budget (infer_jit): the Pallas u8-CDF percentile
-    # kernel needs ~24 MiB of scoped VMEM for its (1, 1024, 1024) f32
-    # blocks, so the full u8→norm→aug→resize→train program does NOT compile
-    # at the 16 MiB default ("Ran out of memory in memory space vmem ...
-    # 23.82M and limit 16.00M", measured 2026-08-18 at b32 AND b8). The
-    # 48 MiB train_jit budget measured 1151 vs 1165 imgs/s on the 299²
-    # core step (scripts/bench_classifier_train.py); 32 MiB measures the
-    # same within noise and is required for the percentile path.
-    @partial(infer_jit, donate_argnums=(0,))
-    def step(state: TrainState, images_u8, labels, class_w, rng):
+def _make_preprocess_step(percentile_norm: bool, p_low: float, p_high: float,
+                          mesh=None, augment_low_res: bool = False):
+    """u8/float tiles (B, H, W) + aug key → (B, 299, 299, 3) train inputs.
+
+    Deliberately its OWN jitted program, separate from the train step: the
+    epoch loop dispatches batch k+1's preprocessing while the 299² train
+    step for batch k is still in flight — stably 227.7/238.9 imgs/s b32
+    across runs, ≥ the fused single program (131.4/256.5 — ±2× runtime
+    noise) and immune to the UNpipelined split's dispatch pathology (5–30
+    s/step in 3 of 5 runs: the axon runtime intermittently blocks when a
+    just-dispatched program's output is consumed by the very next dispatch).
+    scripts/bench_classifier_full_train.py; BASELINE.md r3.
+
+    ``augment_low_res`` (OPT-IN deviation, PARITY.md #15): run the
+    augmentation AFTER the 299² resize — ~11.7× fewer pixels for the
+    aug stage, which dominates the prep program at full res. The reference
+    augments at native resolution (train_adipose_classifier_v0.py:274-276);
+    D4/zoom/brightness/contrast commute with the bilinear resize, but gamma,
+    blur and noise act at the lower resolution, so the default stays
+    reference-order.
+
+    32 MiB scoped-VMEM budget (infer_jit): the Pallas u8-CDF percentile
+    kernel needs ~24 MiB of scoped VMEM for its (1, 1024, 1024) f32 blocks
+    and does NOT compile at the 16 MiB default ("Ran out of memory in memory
+    space vmem ... 23.82M and limit 16.00M", measured 2026-08-18).
+    """
+    @infer_jit
+    def prep(images_u8, aug_key):
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
             imgs = _percentile_norm_255(imgs, p_low, p_high, mesh=mesh)
-        aug_key, drop_key = jax.random.split(rng)
-        imgs = batched_classification(aug_key, imgs, mesh=mesh)
+        if not augment_low_res:
+            imgs = batched_classification(aug_key, imgs, mesh=mesh)
         # resize 299² → 3ch → inception preprocess (:286-297)
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
-        x = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+        if augment_low_res:
+            x = batched_classification(aug_key, x[..., 0], mesh=mesh)[..., None]
+        return jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+
+    return prep
+
+
+def _make_train_step(model, label_smoothing: float, stats_mask):
+    """Core 299² train step; consumes `_make_preprocess_step` outputs."""
+    @partial(infer_jit, donate_argnums=(0,))
+    def step(state: TrainState, x, labels, class_w, drop_key):
 
         def compute(params):
             out, mutated = model.apply(
@@ -195,6 +225,7 @@ class ClassifierTrainer:
         patience: int = 4,
         save_best_only: bool = True,
         pretrained_weights: str | Path | None = None,
+        augment_low_res: bool = False,
     ):
         # classifier LRs: 1e-3 warmup / 1e-4 fine-tune (:479-503)
         self.cfg = cfg or TrainConfig(batch_size=16, lr_phase1=1e-3,
@@ -205,6 +236,8 @@ class ClassifierTrainer:
         self.patience = patience
         self.save_best_only = save_best_only
         self.pretrained_weights = pretrained_weights
+        # opt-in: augment at 299² after the resize (PARITY.md deviation 15)
+        self.augment_low_res = augment_low_res
         self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
         root = Path(dataset_root)
         self.train_data = ClassificationDataset(root / train_split, self.cfg.batch_size, self.cfg.seed)
@@ -233,6 +266,7 @@ class ClassifierTrainer:
         (self.ckpt_dir / "config.json").write_text(json.dumps({
             "label_smoothing": label_smoothing,
             "percentile_norm": percentile_norm,
+            "augment_low_res": augment_low_res,
             "class_weights": self.class_weights,
             **vars(self.cfg),
         }, indent=2, default=str))
@@ -285,10 +319,11 @@ class ClassifierTrainer:
         smask = classifier_stats_mask(batch_stats, mask)
         tx = make_optimizer(cfg.optimizer, lr, cfg.weight_decay, mask)
         state = TrainState.create(params, tx, batch_stats)
-        train_step = _make_train_step(
-            self.model, self.label_smoothing, self.percentile_norm,
-            cfg.percentile_low, cfg.percentile_high, smask, mesh=self.mesh,
+        prep_step = _make_preprocess_step(
+            self.percentile_norm, cfg.percentile_low, cfg.percentile_high,
+            mesh=self.mesh, augment_low_res=self.augment_low_res,
         )
+        train_step = _make_train_step(self.model, self.label_smoothing, smask)
         val_step = _make_val_step(
             self.model, self.percentile_norm, cfg.percentile_low,
             cfg.percentile_high, mesh=self.mesh,
@@ -302,11 +337,26 @@ class ClassifierTrainer:
         for epoch in range(epochs):
             t0 = time.time()
             tms = []
+            # Software pipeline, one batch deep: batch k+1's upload +
+            # preprocess program are dispatched BEFORE batch k's train step
+            # is consumed, so the u8 transfer and the norm/aug/resize
+            # program overlap the in-flight 299² step (see
+            # _make_preprocess_step). Key split matches the old fused step
+            # (aug_key, drop_key = split(rng)) so augmentation draws are
+            # unchanged.
+            pending = None
             for b, (imgs, labels) in enumerate(
                     prefetch_batches(self.train_data.epoch_batches(epoch))):
                 rng = key_for(f"cls.p{phase}", cfg.seed, epoch * 100003 + b)
+                aug_key, drop_key = jax.random.split(rng)
                 imgs, labels = shard_batch(self.mesh, (imgs, labels))
-                state, m = train_step(state, imgs, labels, class_w, rng)
+                x = prep_step(imgs, aug_key)
+                if pending is not None:
+                    state, m = train_step(state, *pending)
+                    tms.append(m)
+                pending = (x, labels, class_w, drop_key)
+            if pending is not None:
+                state, m = train_step(state, *pending)
                 tms.append(m)
             probs, labels_all = [], []
             for imgs, labels in prefetch_batches(

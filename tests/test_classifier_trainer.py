@@ -50,3 +50,29 @@ def test_two_phase_classifier_training(class_dataset):
     assert log["loss"].iloc[-1] < log["loss"].iloc[0]
     # class weights were computed at slide level
     assert set(trainer.class_weights) == {0, 1}
+
+
+def test_preprocess_step_low_res_augment(rng):
+    """--augment-low-res prep: same output contract as the default path
+    (B, 299, 299, 3) in [-1, 1], identity-aug inputs agree across paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from adipose_tpu.train.trainer_classifier import _make_preprocess_step
+
+    imgs = (rng.rand(2, 128, 128) * 255).astype(np.uint8)
+    key = jax.random.PRNGKey(3)
+    full = _make_preprocess_step(True, 1.0, 99.0)(jnp.asarray(imgs), key)
+    low = _make_preprocess_step(True, 1.0, 99.0, augment_low_res=True)(
+        jnp.asarray(imgs), key)
+    for out in (full, low):
+        assert out.shape == (2, 299, 299, 3)
+        assert float(jnp.min(out)) >= -1.0 - 1e-5
+        assert float(jnp.max(out)) <= 1.0 + 1e-5
+        # grayscale tiled to 3 identical channels
+        np.testing.assert_array_equal(np.asarray(out[..., 0]),
+                                      np.asarray(out[..., 1]))
+    # both paths draw the same D4/zoom/photometric decisions from `key`;
+    # outputs differ only through the aug-resolution interaction, which is
+    # bounded for these smooth random tiles
+    assert float(jnp.mean(jnp.abs(full - low))) < 0.5
