@@ -107,6 +107,44 @@ class DualModelWSIPipeline:
         # 0.25 overlap. Device tiling moves the slide's bytes exactly once.
         # Mesh runs keep host tiling (chunks are device_put per-shard).
         self.device_tiling = device_tiling
+        # per-instance jit cache: the fused QC+classify chunk program must
+        # persist across run() calls or every slide recompiles it
+        self._programs: dict = {}
+
+    def _qc_classify_program(self, device_tiling: bool):
+        """ONE fused program per tile chunk: gather → cast → QC → classify,
+        stacked into a single (2, B) f32 result.
+
+        Why fused: the per-stage dispatch chain plus per-chunk downloads made
+        the QC+classify stage ~3× overhead-dominated (25 tiles at 4096²:
+        124.7 ms as separate dispatches vs 42.1 ms fused with one stacked
+        download — scripts/exp_profile_qc_stage.py, identical outputs). The
+        classifier/QC callables are trace-aware dispatchers, so nesting them
+        under this jit is safe (core/jitopts.py).
+        """
+        key = ("qc_classify", device_tiling)
+        if key not in self._programs:
+            import jax
+
+            qc_args = self.qc_args
+            tile = self.tile_size
+            classifier_predict = self.classifier_predict
+
+            def core(cf, variables):
+                return jnp.stack([
+                    classify_tiles_batch(cf, *qc_args)["is_good"].astype(jnp.float32),
+                    classifier_predict(variables, cf).astype(jnp.float32),
+                ])
+
+            if device_tiling:
+                def fn(slide_dev, pos, variables):
+                    cf = extract_tiles(slide_dev, pos, tile).astype(jnp.float32)
+                    return core(cf, variables)
+            else:
+                def fn(tiles, variables):
+                    return core(tiles.astype(jnp.float32), variables)
+            self._programs[key] = jax.jit(fn)
+        return self._programs[key]
 
     def _put(self, chunk: np.ndarray):
         if self.mesh is None:
@@ -161,21 +199,25 @@ class DualModelWSIPipeline:
 
         # QC + classification: ONE tile chunk feeds both (the classifier
         # runs on every tile — at ~1k tiles/s that is cheaper than a second
-        # pass over the good subset). Results stay on device until all
-        # chunks are dispatched, so gathers/uploads and compute pipeline.
+        # pass over the good subset). One fused program per chunk, results
+        # device-concatenated and downloaded in a SINGLE transfer — the
+        # per-stage/per-chunk form was 3× dispatch/download-dominated
+        # (see _qc_classify_program).
         t0 = time.time()
-
-        def qc_and_classify(c):
-            cf = as_f32(c)
-            return (classify_tiles_batch(cf, *self.qc_args)["is_good"],
-                    self.classifier_predict(self.classifier_variables, cf))
-
-        dev_outs = []
+        prog = self._qc_classify_program(use_device_tiling)
+        outs = []
         for idx, n in chunk_indices(np.arange(n_tiles)):
-            dev_outs.append([r[:n] for r in qc_and_classify(get_tiles(idx))])
-        good = np.concatenate([np.asarray(o[0]) for o in dev_outs]).astype(bool)
-        probs = np.concatenate([np.asarray(o[1]) for o in dev_outs])
-        probs = np.where(good, probs, 0.0).astype(np.float32)
+            if use_device_tiling:
+                r = prog(slide_dev, jnp.asarray(positions[idx], jnp.int32),
+                         self.classifier_variables)
+            else:
+                r = prog(get_tiles(idx), self.classifier_variables)
+            outs.append(r)
+        # padded entries sit only at the tail of the last chunk (edge-pad),
+        # so the flattened [:n_tiles] prefix is exactly the real tiles
+        flat = np.asarray(jnp.concatenate(outs, axis=1))[:, :n_tiles]
+        good = flat[0] > 0.5
+        probs = np.where(good, flat[1], 0.0).astype(np.float32)
         positive = good & (probs >= self.classifier_threshold)
         timings["qc_classify_s"] = time.time() - t0
 

@@ -27,7 +27,12 @@ def main():
     from adipose_tpu.models.unet import DilatedUNet
     from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
 
-    slide_px = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    # 'multichunk' = 2×2 chunks of 6144² (the reference chunker's primary
+    # tile size, large_wsi_to_small_wsi_MS.py:486-514) run back-to-back
+    # through one pipeline instance — the gigapixel operating point.
+    multichunk = len(sys.argv) > 1 and sys.argv[1] == "multichunk"
+    slide_px = (6144 if multichunk else
+                int(sys.argv[1]) if len(sys.argv) > 1 else 4096)
     overlap = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
     transfer_dtype = sys.argv[3] if len(sys.argv) > 3 else "uint8"
     print("backend:", jax.devices())
@@ -64,6 +69,38 @@ def main():
     )
 
     res = pipe.run(slide)  # warmup: compiles every stage
+    if multichunk:
+        # 4 distinct 6144² chunks (one gigapixel-slide quadrant grid),
+        # stitched host-side — the multi-chunk flow a real WSI takes after
+        # chunk_wsi (each chunk reuses the warmed pipeline programs).
+        chunks = [slide,
+                  np.ascontiguousarray(slide[::-1]),
+                  np.ascontiguousarray(slide[:, ::-1]),
+                  np.ascontiguousarray(slide[::-1, ::-1])]
+        t0 = time.perf_counter()
+        results = [pipe.run(c) for c in chunks]
+        full = np.empty((2 * slide_px, 2 * slide_px), np.float32)
+        for i, r in enumerate(results):
+            y, x = divmod(i, 2)
+            full[y * slide_px:(y + 1) * slide_px,
+                 x * slide_px:(x + 1) * slide_px] = r.probability_map
+        total = time.perf_counter() - t0
+        n_tiles = sum(r.n_tiles for r in results)
+        out = {
+            "metric": f"wsi_multichunk_2x2x{slide_px}px_end_to_end_s",
+            "transfer_dtype": transfer_dtype,
+            "value": round(total, 3),
+            "unit": "s (4 chunks, warm programs)",
+            "gigapixels": round((2 * slide_px) ** 2 / 1e9, 3),
+            "n_tiles": n_tiles,
+            "n_positive": sum(r.n_positive for r in results),
+            "tiles_per_sec": round(n_tiles / total, 2),
+            "per_chunk_timings": [
+                {k: round(v, 3) for k, v in r.timings.items() if k != "striped"}
+                for r in results],
+        }
+        print(json.dumps(out))
+        return
     totals = []
     for _ in range(3):  # tunnel transfer throughput swings 2-8x run to run
         t0 = time.perf_counter()
