@@ -50,3 +50,22 @@ def pin_default_layout(x: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec(block, index_map),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
     )(x)
+
+
+@jax.custom_vjp
+def pin_default_layout_grad(x: jax.Array) -> jax.Array:
+    """Differentiable :func:`pin_default_layout` — semantically identity, so
+    the VJP passes the cotangent through (also pinned, anchoring the gradient
+    buffer's layout the same way the primal's is)."""
+    return pin_default_layout(x)
+
+
+def _pin_fwd(x):
+    return pin_default_layout(x), None
+
+
+def _pin_bwd(_, g):
+    return (pin_default_layout(g),)
+
+
+pin_default_layout_grad.defvjp(_pin_fwd, _pin_bwd)
