@@ -343,3 +343,40 @@ class TestReferenceLossOracles:
         got = float(getattr(losses, ours)(
             jnp.asarray(y_true), jnp.asarray(y_pred), **kwargs))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-6)
+
+
+class TestManifestsMatchLiveGraphs:
+    """The hardcoded generic-layout manifests in models/tf_import.py must
+    match what tf_keras's saving actually does — rederive them from the live
+    models (scripts/gen_tf_manifests.py logic) and compare."""
+
+    def test_unet_conv_orders(self, ref_unet_module, tmp_path):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from gen_tf_manifests import simulate_save_names
+
+        from adipose_tpu.models.tf_import import (
+            UNET_GENERIC_CONV_ORDER,
+            UNET_GENERIC_CONV_ORDER_DS,
+        )
+
+        for ds, expected in ((False, UNET_GENERIC_CONV_ORDER),
+                             (True, UNET_GENERIC_CONV_ORDER_DS)):
+            net = _build_ref_unet(ref_unet_module, tmp_path, ds)
+            order = {}
+            for h5name, layer in simulate_save_names(net):
+                if h5name.startswith("conv2d"):
+                    rest = h5name[len("conv2d"):]
+                    order[0 if not rest else int(rest[1:])] = layer.name
+            assert tuple(order[k] for k in sorted(order)) == expected, ds
+
+    def test_inception_perm(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo/scripts")
+        from gen_tf_manifests import inception_perm
+
+        from adipose_tpu.models.tf_import import INCEPTION_TOPO_PERM
+
+        assert inception_perm() == INCEPTION_TOPO_PERM
