@@ -307,16 +307,11 @@ class UNetTrainer:
                     opt_state=set_learning_rate(state.opt_state, schedule(epoch))
                 )
             train_metrics = []
-            # background decode of the next batches overlaps the device step
-            # (the reference's tf.data prefetch, train_adipose_unet_v3.py:623)
-            for b, (imgs, masks) in enumerate(
-                    prefetch_batches(self.train_data.epoch_batches(epoch))):
-                rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
-                aug_key, step_key = jax.random.split(rng)
-                imgs, masks = self._shard(self.mesh, (imgs, masks))
-                imgs, masks = augment_step(aug_key, imgs, masks)
+
+            def run_step(state, imgs, masks, step_key):
+                nonlocal train_step, val_step
                 try:
-                    state, m = train_step(state, imgs, masks, step_key, mean, std)
+                    return train_step(state, imgs, masks, step_key, mean, std)
                 except Exception as err:  # pragma: no cover - TPU-dependent
                     # Some batch sizes hit an XLA conv lowering whose HLO
                     # temps exceed HBM (b4 at 1024² on v5e: 20.8 G — see
@@ -341,15 +336,38 @@ class UNetTrainer:
                     try:
                         print(f"[train] step failed ({type(err).__name__}); "
                               "retrying once (transient?)")
-                        state, m = train_step(state, imgs, masks, step_key,
-                                              mean, std)
+                        return train_step(state, imgs, masks, step_key,
+                                          mean, std)
                     except Exception:
                         print("[train] step failed again; rebuilding with "
                               "remat=True")
                         self.model = self.model.clone(remat=True)
                         train_step, val_step = build_steps()
-                        state, m = train_step(state, imgs, masks, step_key,
-                                              mean, std)
+                        return train_step(state, imgs, masks, step_key,
+                                          mean, std)
+
+            # background decode of the next batches overlaps the device step
+            # (the reference's tf.data prefetch, train_adipose_unet_v3.py:623).
+            # 1-deep software pipeline on top: batch k+1's augmentation is
+            # dispatched BEFORE batch k's train step is consumed — measured
+            # +11% (668.8 vs 743.3 ms/step b8 incl. aug,
+            # scripts/bench_unet_train_pipeline.py), and it sidesteps the
+            # runtime's intermittent multi-second stall when a program's
+            # output feeds the immediately-next dispatch (BASELINE.md r3
+            # axon lessons).
+            pending = None
+            for b, (imgs, masks) in enumerate(
+                    prefetch_batches(self.train_data.epoch_batches(epoch))):
+                rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
+                aug_key, step_key = jax.random.split(rng)
+                imgs, masks = self._shard(self.mesh, (imgs, masks))
+                aug_imgs, aug_masks = augment_step(aug_key, imgs, masks)
+                if pending is not None:
+                    state, m = run_step(state, *pending)
+                    train_metrics.append(m)
+                pending = (aug_imgs, aug_masks, step_key)
+            if pending is not None:
+                state, m = run_step(state, *pending)
                 train_metrics.append(m)
             val_metrics = []
             for imgs, masks in prefetch_batches(
