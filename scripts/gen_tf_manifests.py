@@ -77,7 +77,10 @@ def inception_perm() -> tuple:
     setup_tf_env()
     model = build_keras_classifier()
     convs = [l for l in model.layers if l.__class__.__name__ == "Conv2D"]
-    creation = {id(l): _suffix(l.name, "conv2d") for l in convs}
+    # creation order by auto-name suffix RANK (not value): in a non-fresh
+    # process the uid counters are offset (conv2d_94, ...) but stay ordered
+    by_creation = sorted(convs, key=lambda l: _suffix(l.name, "conv2d"))
+    creation = {id(l): i for i, l in enumerate(by_creation)}
     conv_perm, bn_perm = {}, {}
     for h5name, layer in simulate_save_names(model):
         cls = layer.__class__.__name__
