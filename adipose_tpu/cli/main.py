@@ -642,7 +642,11 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--test-ratio", type=float, default=0.15)
 
     pl = sub.add_parser("pipeline", help="end-to-end dual-model WSI pipeline")
-    pl.add_argument("--wsi", required=True)
+    pl.add_argument("--wsi", default=None, help="a single WSI/chunk image")
+    pl.add_argument("--wsi-dir", default=None,
+                    help="directory of WSI chunks (chunk-wsi output); chunks "
+                         "stream through a 1-deep pipelined driver — chunk "
+                         "k+1 computes while chunk k's map downloads/writes")
     pl.add_argument("--classifier-weights", required=True)
     pl.add_argument("--segmenter-weights", required=True)
     pl.add_argument("--output-dir", required=True)
@@ -1648,10 +1652,25 @@ def cmd_pipeline(args):
         batch_size=args.batch_size,
         transfer_dtype=args.transfer_dtype,
     )
-    result = pipe.run_file(args.wsi, args.output_dir, args.threshold)
-    print(json.dumps({"n_tiles": result.n_tiles, "n_good": result.n_good,
-                      "n_positive": result.n_positive,
-                      "timings": result.timings}, indent=2))
+    if args.wsi_dir:
+        exts = (".tif", ".tiff", ".png", ".jpg", ".jpeg")
+        paths = sorted(p for p in Path(args.wsi_dir).iterdir()
+                       if p.suffix.lower() in exts and p.is_file())
+        if not paths:
+            raise SystemExit(f"no chunk images in {args.wsi_dir}")
+        summaries = pipe.run_files(paths, args.output_dir, args.threshold)
+        print(json.dumps({
+            "n_chunks": len(summaries),
+            "n_tiles": sum(s["n_tiles"] for s in summaries),
+            "n_positive": sum(s["n_positive"] for s in summaries),
+        }, indent=2))
+    elif args.wsi:
+        result = pipe.run_file(args.wsi, args.output_dir, args.threshold)
+        print(json.dumps({"n_tiles": result.n_tiles, "n_good": result.n_good,
+                          "n_positive": result.n_positive,
+                          "timings": result.timings}, indent=2))
+    else:
+        raise SystemExit("pipeline requires --wsi or --wsi-dir")
 
 
 def cmd_run_pipeline(args):

@@ -55,6 +55,24 @@ class PipelineResult:
     probability_u8: np.ndarray | None = None
 
 
+@dataclass
+class _PendingRun:
+    """In-flight per-chunk state between :meth:`DualModelWSIPipeline._dispatch`
+    and :meth:`DualModelWSIPipeline._finish` (the run_many 1-deep pipeline)."""
+
+    gray_shape: tuple
+    h: int
+    w: int
+    n_tiles: int
+    n_good: int
+    n_positive: int
+    timings: dict
+    acc: object            # device accumulator (sync handle in pipelined mode)
+    stripes: list | None   # striped path: [(y0, stripe device array)], downloads started
+    hs: int                # stripe height (striped path)
+    out_arr: object | None  # mesh path: finalized map, async copy started
+
+
 class DualModelWSIPipeline:
     def __init__(
         self,
@@ -156,6 +174,46 @@ class DualModelWSIPipeline:
         return jax.device_put(chunk, data_sharding(self.mesh, chunk.ndim))
 
     def run(self, image: np.ndarray) -> PipelineResult:
+        return self._finish(self._dispatch(image, sync_segment=True))
+
+    def run_many(self, images) -> list[PipelineResult]:
+        """Run several chunks through a 1-deep dispatch/finish pipeline.
+
+        A gigapixel WSI arrives as a sequence of ≤6144² chunks
+        (``wsi/chunker.py``, mirroring
+        ``pre-post-processing_tools/large_wsi_to_small_wsi_MS.py:486-514``);
+        running them with back-to-back :meth:`run` calls serializes chunk
+        k's host-side finalize (stripe downloads + canvas assembly,
+        1.6–3.5 s at 6144² through the tunnel) against chunk k+1's compute.
+        Here chunk k+1 is DISPATCHED (upload → QC+classify → segmentation →
+        stripe finalize, downloads streaming) before chunk k's host assembly
+        runs — the same 1-deep software pipeline the trainers' epoch loops
+        use. Outputs are identical to per-image :meth:`run` calls.
+
+        Timing attribution shifts in pipelined mode (``pipelined: true`` in
+        each chunk's timings): ``segment_s`` measures dispatch only (no
+        device sync), and the device-drain + download wait lands in
+        ``blend_s`` of the NEXT chunk's overlap window or this chunk's
+        finish.
+        """
+        return list(self.run_many_iter(images))
+
+    def run_many_iter(self, images):
+        """Generator form of :meth:`run_many`: yields each chunk's
+        :class:`PipelineResult` as soon as its successor is dispatched, so a
+        caller can write chunk k's artifacts (and drop its canvas) while
+        chunk k+1 computes — ``images`` may itself be a lazy generator
+        (file reads then also overlap the device drain)."""
+        prev: _PendingRun | None = None
+        for img in images:
+            st = self._dispatch(img, sync_segment=False)
+            if prev is not None:
+                yield self._finish(prev)
+            prev = st
+        if prev is not None:
+            yield self._finish(prev)
+
+    def _dispatch(self, image: np.ndarray, sync_segment: bool) -> _PendingRun:
         t = self.tile_size
         timings = {}
         t0 = time.time()
@@ -235,7 +293,6 @@ class DualModelWSIPipeline:
         timings["blend_weights_s"] = time.time() - t0
 
         t0 = time.time()
-        prob_u8 = None
         pos_idx = np.flatnonzero(positive)
 
         def segment_chunks(acc, on_chunk_done=None):
@@ -260,8 +317,13 @@ class DualModelWSIPipeline:
         # NOTE on timings: in the striped (mesh=None) path the final-map
         # device->host transfer overlaps segmentation, so segment_s absorbs
         # most of what the mesh path reports as blend_s; the 'striped' key
-        # marks which attribution a log used.
+        # marks which attribution a log used. In pipelined (run_many) mode
+        # segment_s is dispatch-side only — 'pipelined' marks that too.
         timings["striped"] = self.mesh is None
+        timings["pipelined"] = not sync_segment
+        stripes = None
+        hs = gray.shape[0]
+        out_arr = None
         if self.mesh is None:
             # Stripe-pipelined finalize+download: a canvas stripe
             # [y0, y0+hs) receives contributions only from tiles whose row
@@ -305,54 +367,86 @@ class DualModelWSIPipeline:
 
             acc = segment_chunks(acc, flush)
             # dispatch is async: block so segment_s measures segmentation
-            # (stripe downloads keep streaming meanwhile)
-            acc.block_until_ready()
+            # (stripe downloads keep streaming meanwhile); in pipelined mode
+            # skip the sync — the next chunk's dispatch overlaps the drain
+            if sync_segment:
+                acc.block_until_ready()
             timings["segment_s"] = time.time() - t0
-
-            t0 = time.time()
-            buf = np.empty(gray.shape, dtype=np.asarray(stripes[0][1]).dtype)
-            for y0, arr in stripes:
-                buf[y0 : y0 + hs] = np.asarray(arr)
-            if self.transfer_dtype == "uint8":
-                prob_u8 = buf[:h, :w]
-                full = prob_u8.astype(np.float32) / 255.0
-            else:
-                full = buf[:h, :w].astype(np.float32)
+            timings["_blend_dispatch_s"] = 0.0  # stripes dispatched in-loop
         else:
             acc = segment_chunks(acc)
             # dispatch is async: block here so segment_s measures
             # segmentation, not the later finalize sync
-            acc.block_until_ready()
+            if sync_segment:
+                acc.block_until_ready()
             timings["segment_s"] = time.time() - t0
 
             t0 = time.time()
             if self.transfer_dtype == "uint8":
-                prob_u8 = np.asarray(finalize_blend_u8(acc, wsum))[:h, :w]
+                out_arr = finalize_blend_u8(acc, wsum)
+            else:
+                out_arr = finalize_blend(acc, wsum)
+                if self.transfer_dtype == "float16":
+                    out_arr = out_arr.astype(jnp.float16)
+            out_arr.copy_to_host_async()
+            timings["_blend_dispatch_s"] = time.time() - t0
+
+        return _PendingRun(
+            gray_shape=gray.shape, h=h, w=w, n_tiles=n_tiles,
+            n_good=int(good.sum()), n_positive=int(positive.sum()),
+            timings=timings, acc=acc, stripes=stripes, hs=hs,
+            out_arr=out_arr)
+
+    def _finish(self, st: _PendingRun) -> PipelineResult:
+        """Host-side completion: wait for stripe/map downloads, assemble the
+        canvas, close the timing attribution. Separated from
+        :meth:`_dispatch` so :meth:`run_many` can overlap it with the next
+        chunk's dispatch."""
+        timings = st.timings
+        t0 = time.time()
+        prob_u8 = None
+        if st.stripes is not None:
+            buf = np.empty(st.gray_shape,
+                           dtype=np.asarray(st.stripes[0][1]).dtype)
+            for y0, arr in st.stripes:
+                buf[y0 : y0 + st.hs] = np.asarray(arr)
+            if self.transfer_dtype == "uint8":
+                prob_u8 = buf[: st.h, : st.w]
                 full = prob_u8.astype(np.float32) / 255.0
             else:
-                out = finalize_blend(acc, wsum)
-                if self.transfer_dtype == "float16":
-                    out = out.astype(jnp.float16)
-                full = np.asarray(out)[:h, :w].astype(np.float32)
-        timings["blend_s"] = time.time() - t0 + timings.pop("blend_weights_s")
+                full = buf[: st.h, : st.w].astype(np.float32)
+        else:
+            arr = np.asarray(st.out_arr)
+            if self.transfer_dtype == "uint8":
+                prob_u8 = arr[: st.h, : st.w]
+                full = prob_u8.astype(np.float32) / 255.0
+            else:
+                full = arr[: st.h, : st.w].astype(np.float32)
+        timings["blend_s"] = (time.time() - t0
+                              + timings.pop("_blend_dispatch_s")
+                              + timings.pop("blend_weights_s"))
 
         return PipelineResult(
             probability_map=full,
-            n_tiles=n_tiles,
-            n_good=int(good.sum()),
-            n_positive=int(positive.sum()),
+            n_tiles=st.n_tiles,
+            n_good=st.n_good,
+            n_positive=st.n_positive,
             timings=timings,
             probability_u8=prob_u8,
         )
 
-    def run_file(self, image_path: str | Path, output_dir: str | Path,
-                 threshold: float = 0.5) -> PipelineResult:
+    @staticmethod
+    def _read_image(image_path: str | Path) -> np.ndarray:
         image = cv2.imread(str(image_path), cv2.IMREAD_UNCHANGED)
         if image is None:
             raise ValueError(f"cannot read {image_path}")
         if image.dtype == np.uint16:
             image = (image / 257.0).astype(np.uint8)
-        result = self.run(image)
+        return image
+
+    @staticmethod
+    def _write_outputs(image_path: str | Path, result: PipelineResult,
+                       output_dir: str | Path, threshold: float) -> dict:
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         stem = Path(image_path).stem
@@ -362,10 +456,45 @@ class DualModelWSIPipeline:
         cv2.imwrite(str(out / f"{stem}_probability.png"), prob_png)
         cv2.imwrite(str(out / f"{stem}_mask.png"),
                     ((result.probability_map > threshold) * 255).astype(np.uint8))
-        (out / f"{stem}_pipeline_log.json").write_text(json.dumps({
+        summary = {
+            "chunk": stem,
             "n_tiles": result.n_tiles,
             "n_good": result.n_good,
             "n_positive": result.n_positive,
             "timings": result.timings,
-        }, indent=2))
+        }
+        (out / f"{stem}_pipeline_log.json").write_text(
+            json.dumps(summary, indent=2))
+        return summary
+
+    def run_file(self, image_path: str | Path, output_dir: str | Path,
+                 threshold: float = 0.5) -> PipelineResult:
+        result = self.run(self._read_image(image_path))
+        self._write_outputs(image_path, result, output_dir, threshold)
         return result
+
+    def run_files(self, image_paths, output_dir: str | Path,
+                  threshold: float = 0.5) -> list[dict]:
+        """Chunk-directory driver: every file flows through the pipelined
+        :meth:`run_many_iter` (chunk k+1's read+dispatch overlaps chunk k's
+        download/assembly/writes); artifacts are written and canvases
+        dropped as each chunk completes, so gigapixel chunk sets stream at
+        constant host memory. Returns per-chunk summary dicts and writes a
+        directory-level ``pipeline_log.json``."""
+        paths = [Path(p) for p in image_paths]
+        Path(output_dir).mkdir(parents=True, exist_ok=True)
+        summaries = []
+        t0 = time.time()
+        lazy_reads = (self._read_image(p) for p in paths)
+        for p, r in zip(paths, self.run_many_iter(lazy_reads)):
+            summaries.append(self._write_outputs(p, r, output_dir, threshold))
+        log = {
+            "n_chunks": len(paths),
+            "total_s": time.time() - t0,
+            "n_tiles": sum(s["n_tiles"] for s in summaries),
+            "n_positive": sum(s["n_positive"] for s in summaries),
+            "chunks": summaries,
+        }
+        (Path(output_dir) / "pipeline_log.json").write_text(
+            json.dumps(log, indent=2))
+        return summaries

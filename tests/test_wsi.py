@@ -288,6 +288,82 @@ class TestDualModelPipeline:
         np.testing.assert_allclose(
             u8.probability_map, u8.probability_u8 / 255.0, atol=1e-7)
 
+    def test_run_many_matches_sequential_runs(self, rng):
+        """The 1-deep pipelined multi-chunk driver (run_many) produces
+        exactly the per-chunk run() outputs — only timing attribution
+        changes (pipelined=True, segment_s dispatch-only)."""
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        def classifier(v, t):
+            return jnp.mean(t, axis=(1, 2)) / 255.0
+
+        def segmenter(p, t):
+            return jax.nn.sigmoid((t - 100.0) / 50.0)
+
+        base = (rng.rand(160, 160) * 255).astype(np.uint8)
+        base[96:, :] //= 4  # dark band -> some negative tiles
+        chunks = [base, np.ascontiguousarray(base[::-1]),
+                  np.ascontiguousarray(base[:, ::-1])]
+        for dtype in ("uint8", "float32"):
+            pipe = DualModelWSIPipeline(
+                classifier, None, segmenter, None,
+                tile_size=64, overlap=0.25, batch_size=4,
+                blur_threshold=0.0, transfer_dtype=dtype)
+            seq = [pipe.run(c) for c in chunks]
+            piped = pipe.run_many(chunks)
+            assert len(piped) == len(seq)
+            for s, p in zip(seq, piped):
+                assert (s.n_tiles, s.n_good, s.n_positive) == \
+                    (p.n_tiles, p.n_good, p.n_positive)
+                np.testing.assert_array_equal(
+                    s.probability_map, p.probability_map)
+                if dtype == "uint8":
+                    np.testing.assert_array_equal(
+                        s.probability_u8, p.probability_u8)
+                assert p.timings["pipelined"] and not s.timings["pipelined"]
+                assert "blend_s" in p.timings and "segment_s" in p.timings
+
+    def test_run_files_streams_chunk_directory(self, tmp_path, rng):
+        """run_files writes per-chunk artifacts + a directory-level log via
+        the pipelined driver, matching run_file outputs chunk-for-chunk."""
+        import json
+
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        def classifier(v, t):
+            return jnp.ones(t.shape[0])
+
+        def segmenter(p, t):
+            return jax.nn.sigmoid((t - 100.0) / 50.0)
+
+        chunk_dir = tmp_path / "chunks"
+        chunk_dir.mkdir()
+        paths = []
+        for i in range(3):
+            img = (rng.rand(128, 128) * 255).astype(np.uint8)
+            p = chunk_dir / f"slide_x{i * 128}_y0_w128_h128.png"
+            cv2.imwrite(str(p), img)
+            paths.append(p)
+
+        pipe = DualModelWSIPipeline(
+            classifier, None, segmenter, None,
+            tile_size=64, overlap=0.25, batch_size=4,
+            blur_threshold=0.0, transfer_dtype="uint8")
+        out_many = tmp_path / "out_many"
+        summaries = pipe.run_files(paths, out_many, threshold=0.5)
+        assert len(summaries) == 3
+        log = json.loads((out_many / "pipeline_log.json").read_text())
+        assert log["n_chunks"] == 3
+        assert log["n_tiles"] == sum(s["n_tiles"] for s in summaries)
+        out_single = tmp_path / "out_single"
+        for p in paths:
+            pipe.run_file(p, out_single, threshold=0.5)
+        for p in paths:
+            for suffix in ("probability", "mask"):
+                a = cv2.imread(str(out_many / f"{p.stem}_{suffix}.png"), 0)
+                b = cv2.imread(str(out_single / f"{p.stem}_{suffix}.png"), 0)
+                np.testing.assert_array_equal(a, b)
+
     def test_striped_finalize_matches_oracle(self, rng):
         """The stripe-pipelined finalize+download (multi-chunk, mid-loop
         stripe flushes, mixed gating, clamped last row/col) reproduces the
