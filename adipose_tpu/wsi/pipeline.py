@@ -164,6 +164,41 @@ class DualModelWSIPipeline:
             self._programs[key] = jax.jit(fn)
         return self._programs[key]
 
+    def _segment_accumulate_program(self, device_tiling: bool):
+        """ONE fused program per positive-tile chunk: gather → cast →
+        segment → weighted scatter-add into the (donated) accumulator.
+
+        Same rationale as :meth:`_qc_classify_program`: the unfused form is
+        three dispatches per chunk (extract_tiles, segmenter, accumulate)
+        with the (B, T, T) f32 prediction maps round-tripping HBM between
+        programs. The segmenter callable is a trace-aware dispatcher
+        (core/jitopts.py), so nesting it under this jit is safe; the inner
+        accumulate's donation is inherited by donating ``acc`` here.
+        """
+        key = ("segment_accumulate", device_tiling)
+        if key not in self._programs:
+            import jax
+
+            tile = self.tile_size
+            segmenter_predict = self.segmenter_predict
+            weight_map = self.weight_map
+
+            def core(tiles_f32, params, acc, positions, valid):
+                seg = segmenter_predict(params, tiles_f32)
+                return accumulate_predictions(
+                    acc, seg, positions, weight_map, valid)
+
+            if device_tiling:
+                def fn(acc, slide_dev, pos, params, valid):
+                    cf = extract_tiles(slide_dev, pos, tile).astype(jnp.float32)
+                    return core(cf, params, acc, pos, valid)
+            else:
+                def fn(acc, tiles, pos, params, valid):
+                    return core(tiles.astype(jnp.float32), params, acc,
+                                pos, valid)
+            self._programs[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._programs[key]
+
     def _put(self, chunk: np.ndarray):
         if self.mesh is None:
             return jnp.asarray(chunk)
@@ -252,9 +287,6 @@ class DualModelWSIPipeline:
                 n = len(idx)
                 yield np.pad(idx, (0, b - n), mode="edge"), n
 
-        def as_f32(c):
-            return c.astype(jnp.float32)
-
         # QC + classification: ONE tile chunk feeds both (the classifier
         # runs on every tile — at ~1k tiles/s that is cheaper than a second
         # pass over the good subset). One fused program per chunk, results
@@ -295,20 +327,25 @@ class DualModelWSIPipeline:
         t0 = time.time()
         pos_idx = np.flatnonzero(positive)
 
+        seg_prog = self._segment_accumulate_program(use_device_tiling)
+
         def segment_chunks(acc, on_chunk_done=None):
             """Shared per-chunk segment+accumulate loop (both finalize
-            strategies); ``on_chunk_done(done_count, acc)`` is the striped
-            path's flush hook."""
+            strategies), one fused program per chunk;
+            ``on_chunk_done(done_count, acc)`` is the striped path's flush
+            hook."""
             done = 0
             if on_chunk_done is not None:
                 on_chunk_done(0, acc)
             for idx, n in chunk_indices(pos_idx):
-                seg_chunk = self.segmenter_predict(
-                    self.segmenter_params, as_f32(get_tiles(idx)))
+                pos = jnp.asarray(positions[idx], jnp.int32)
                 valid = jnp.asarray(np.arange(b) < n, jnp.float32)
-                acc = accumulate_predictions(
-                    acc, seg_chunk, jnp.asarray(positions[idx], jnp.int32),
-                    self.weight_map, valid)
+                if use_device_tiling:
+                    acc = seg_prog(acc, slide_dev, pos,
+                                   self.segmenter_params, valid)
+                else:
+                    acc = seg_prog(acc, get_tiles(idx), pos,
+                                   self.segmenter_params, valid)
                 done += 1
                 if on_chunk_done is not None:
                     on_chunk_done(done, acc)
