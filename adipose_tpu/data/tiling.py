@@ -310,8 +310,19 @@ class SegmentationDatasetBuilder:
             verdicts = self._qc_batchwise(tiles_rgb)
             tiles_gray = [cv2.cvtColor(t, cv2.COLOR_RGB2GRAY) for t in tiles_rgb]
         else:
-            tiles_gray = [gray[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
-                          for (_, _, ys, xs) in coords]
+            if gray.dtype == np.uint8:
+                # native memcpy gather (core/native.py) — the tiling hot
+                # loop of build_dataset.py:1399-1646, exact vs slicing
+                from adipose_tpu.core import native
+
+                pos = np.array([(ys, xs) for (_, _, ys, xs) in coords],
+                               np.int32)
+                tiles_gray = list(native.extract_tiles(
+                    gray, pos, cfg.tile_size))
+            else:
+                tiles_gray = [
+                    gray[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
+                    for (_, _, ys, xs) in coords]
             verdicts = self._qc_batchwise(tiles_gray)
 
         results = []

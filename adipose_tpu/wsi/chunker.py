@@ -52,13 +52,14 @@ def generate_axis_segments(length: int, primary: int = 6144, multiple: int = 102
 
 def convert_16_to_8bit(img: np.ndarray) -> np.ndarray:
     """Min-max 16→8-bit (``..._MS.py:119-158``; also
-    ``convert_tif_to_jpg.py:118``)."""
+    ``convert_tif_to_jpg.py:118``). Delegates to the native tileops kernel
+    (OpenMP single pass, exact-equality tested vs the numpy formula) with the
+    numpy fallback built into the binding."""
     if img.dtype != np.uint16:
         return img.astype(np.uint8) if img.dtype != np.uint8 else img
-    lo, hi = int(img.min()), int(img.max())
-    if hi == lo:
-        return np.zeros_like(img, dtype=np.uint8)
-    return ((img.astype(np.float32) - lo) / (hi - lo) * 255.0).astype(np.uint8)
+    from adipose_tpu.core import native
+
+    return native.convert_u16_to_u8(img)
 
 
 def enhance(img: np.ndarray, method: str = "none") -> np.ndarray:

@@ -177,12 +177,9 @@ def convert_tif_to_jpg(
     if img is None:
         return False
     if img.dtype == np.uint16:
-        lo, hi = int(img.min()), int(img.max())
-        img = (
-            np.zeros_like(img, np.uint8)
-            if hi == lo
-            else ((img.astype(np.float32) - lo) / (hi - lo) * 255).astype(np.uint8)
-        )
+        from adipose_tpu.wsi.chunker import convert_16_to_8bit
+
+        img = convert_16_to_8bit(img)
     if invert:
         img = 255 - img
     if img.ndim == 2:

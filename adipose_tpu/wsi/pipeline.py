@@ -273,8 +273,15 @@ class DualModelWSIPipeline:
             # Keep tiles in the source dtype (u8 for real slides):
             # host->device transfers are 4x smaller than f32, and every
             # consumer casts on device where the conversion is free.
-            tiles_host = np.stack(
-                [gray[y : y + t, x : x + t] for (y, x) in positions])
+            # Native memcpy gather (core/native.py, OpenMP) replaces the
+            # Python per-tile slicing for u8 slides — exact, parity-tested.
+            if gray.dtype == np.uint8:
+                from adipose_tpu.core import native
+
+                tiles_host = native.extract_tiles(gray, positions, t)
+            else:
+                tiles_host = np.stack(
+                    [gray[y : y + t, x : x + t] for (y, x) in positions])
 
             def get_tiles(idx):
                 return self._put(tiles_host[idx])
@@ -317,11 +324,21 @@ class DualModelWSIPipeline:
         # that 3+ s of the old 8.5 s end-to-end).
         t0 = time.time()
         acc = jnp.zeros(gray.shape, jnp.float32)
-        wsum = jnp.zeros(gray.shape, jnp.float32)
-        for idx, n in chunk_indices(np.arange(n_tiles)):
-            wsum = accumulate_weights(
-                wsum, jnp.asarray(positions[idx], jnp.int32), self.weight_map,
-                jnp.asarray(np.arange(b) < n, jnp.float32))
+        # The weight canvas depends only on the padded shape (positions and
+        # chunking derive from it deterministically), not on pixel data —
+        # cache it so a multi-chunk WSI (run_many over same-size chunks)
+        # builds it once instead of once per chunk. Downstream programs
+        # (finalize_blend*) only read it; nothing donates the cached array.
+        wsum_key = ("wsum", gray.shape)
+        wsum = self._programs.get(wsum_key)
+        if wsum is None:
+            wsum = jnp.zeros(gray.shape, jnp.float32)
+            for idx, n in chunk_indices(np.arange(n_tiles)):
+                wsum = accumulate_weights(
+                    wsum, jnp.asarray(positions[idx], jnp.int32),
+                    self.weight_map,
+                    jnp.asarray(np.arange(b) < n, jnp.float32))
+            self._programs[wsum_key] = wsum
         timings["blend_weights_s"] = time.time() - t0
 
         t0 = time.time()

@@ -323,6 +323,31 @@ class TestDualModelPipeline:
                 assert p.timings["pipelined"] and not s.timings["pipelined"]
                 assert "blend_s" in p.timings and "segment_s" in p.timings
 
+    def test_wsum_cache_across_chunk_sizes(self, rng):
+        """One pipeline instance caches the blend weight canvas per padded
+        shape; mixed-size chunks through the same instance must still match
+        fresh-instance runs (guards the cache keying)."""
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        def classifier(v, t):
+            return jnp.ones(t.shape[0])
+
+        def segmenter(p, t):
+            return jax.nn.sigmoid((t - 100.0) / 50.0)
+
+        kw = dict(tile_size=64, overlap=0.25, batch_size=4,
+                  blur_threshold=0.0)
+        imgs = [(rng.rand(160, 160) * 255).astype(np.uint8),
+                (rng.rand(112, 112) * 255).astype(np.uint8),  # padded to 64²+
+                (rng.rand(160, 160) * 255).astype(np.uint8)]
+        shared = DualModelWSIPipeline(classifier, None, segmenter, None, **kw)
+        got = [shared.run(i) for i in imgs] + shared.run_many(imgs)
+        for r, img in zip(got, imgs + imgs):
+            fresh = DualModelWSIPipeline(
+                classifier, None, segmenter, None, **kw).run(img)
+            np.testing.assert_allclose(
+                r.probability_map, fresh.probability_map, atol=1e-6)
+
     def test_run_files_streams_chunk_directory(self, tmp_path, rng):
         """run_files writes per-chunk artifacts + a directory-level log via
         the pipelined driver, matching run_file outputs chunk-for-chunk."""
