@@ -329,6 +329,10 @@ class DualModelWSIPipeline:
         # cache it so a multi-chunk WSI (run_many over same-size chunks)
         # builds it once instead of once per chunk. Downstream programs
         # (finalize_blend*) only read it; nothing donates the cached array.
+        # HBM note: each cached entry is one f32 canvas (~151 MB at 6144²);
+        # a WSI's edge chunks produce a handful of distinct padded shapes, so
+        # the cache is LRU-bounded to the 2 most recent shapes to keep
+        # long-lived pipeline instances from pinning several canvases.
         wsum_key = ("wsum", gray.shape)
         wsum = self._programs.get(wsum_key)
         if wsum is None:
@@ -338,6 +342,14 @@ class DualModelWSIPipeline:
                     wsum, jnp.asarray(positions[idx], jnp.int32),
                     self.weight_map,
                     jnp.asarray(np.arange(b) < n, jnp.float32))
+            wsum_keys = [k for k in self._programs
+                         if isinstance(k, tuple) and k and k[0] == "wsum"]
+            for stale in wsum_keys[:max(0, len(wsum_keys) - 1)]:
+                del self._programs[stale]
+            self._programs[wsum_key] = wsum
+        else:
+            # refresh recency: move to the end of insertion order
+            del self._programs[wsum_key]
             self._programs[wsum_key] = wsum
         timings["blend_weights_s"] = time.time() - t0
 

@@ -75,7 +75,12 @@ void fill_polygons(uint8_t* mask, int h, int w,
   }
 }
 
-// uint16 → uint8 min-max conversion (large_wsi_to_small_wsi_MS.py:119).
+// uint16 → uint8 min-max conversion (large_wsi_to_small_wsi_MS.py:119;
+// convert_tif_to_jpg.py:93-96). Bit-exact vs numpy's
+// ((x.astype(f32) - lo) / (hi - lo) * 255).astype(u8): a 65536-entry LUT is
+// filled with the f32 ops in numpy's exact order (subtract, divide, multiply,
+// truncating cast) — a precomputed 255/(hi-lo) scale rounds differently for
+// ~15% of dynamic ranges (e.g. maps hi to 254).
 void convert_u16_to_u8(const uint16_t* src, uint8_t* dst, int64_t n) {
   uint16_t lo = 65535, hi = 0;
 #pragma omp parallel for reduction(min : lo) reduction(max : hi)
@@ -87,10 +92,14 @@ void convert_u16_to_u8(const uint16_t* src, uint8_t* dst, int64_t n) {
     std::memset(dst, 0, n);
     return;
   }
-  const float scale = 255.0f / (hi - lo);
+  const float range = (float)(hi - lo);
+  static thread_local uint8_t lut[65536];
+  for (int v = lo; v <= (int)hi; ++v) {
+    lut[v] = (uint8_t)(((float)v - (float)lo) / range * 255.0f);
+  }
 #pragma omp parallel for
   for (int64_t i = 0; i < n; ++i) {
-    dst[i] = (uint8_t)((src[i] - lo) * scale);
+    dst[i] = lut[src[i]];
   }
 }
 

@@ -34,6 +34,27 @@ class TestNative:
         b = ((img.astype(np.float32) - lo) / (hi - lo) * 255).astype(np.uint8)
         assert np.array_equal(a, b)
 
+    @pytest.mark.parametrize("span", [7, 14, 28, 41, 56])
+    def test_u16_conversion_adversarial_ranges(self, span):
+        # Ranges where a precomputed 255/(hi-lo) scale rounds the max pixel
+        # to 254 instead of 255 (r3 advisor finding); the LUT form must match
+        # numpy's exact operation order including the hi pixel.
+        img = np.arange(0, span + 1, dtype=np.uint16).reshape(1, -1)
+        a = native.convert_u16_to_u8(img)
+        b = ((img.astype(np.float32) - 0) / span * 255).astype(np.uint8)
+        assert np.array_equal(a, b)
+        assert a.max() == 255
+
+    def test_u16_conversion_sweep_many_ranges(self, rng):
+        for _ in range(200):
+            lo = int(rng.randint(0, 60000))
+            span = int(rng.randint(1, 5536))
+            x = rng.randint(lo, lo + span + 1, size=97).astype(np.uint16)
+            x[0], x[1] = lo, lo + span  # pin the extremes
+            got = native.convert_u16_to_u8(x)
+            exp = ((x.astype(np.float32) - lo) / span * 255).astype(np.uint8)
+            assert np.array_equal(got, exp), (lo, span)
+
     def test_extract_tiles(self, rng):
         img = (rng.rand(256, 256) * 255).astype(np.uint8)
         pos = np.array([[0, 0], [64, 128], [192, 192]], np.int32)
