@@ -34,7 +34,7 @@ class ConvBN(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen: bool = False):
         x = nn.Conv(
             self.features,
             self.kernel,
@@ -44,8 +44,14 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # Keras special-cases BatchNormalization under `layer.trainable=False`:
+        # the layer runs in INFERENCE mode during fit — it normalizes with the
+        # MOVING statistics and does not update them
+        # (train_adipose_classifier_v0.py:355-358 freezes per-layer). `frozen`
+        # reproduces that: a frozen ConvBN uses running stats even when
+        # train=True.
         x = nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=(not train) or frozen,
             use_scale=False,
             epsilon=1e-3,
             momentum=0.99,
@@ -77,7 +83,7 @@ class InceptionV3(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, frozen_below: int = 0):
         dt = self.dtype
         x = x.astype(dt)
         counter = [0]
@@ -86,7 +92,7 @@ class InceptionV3(nn.Module):
             i = counter[0]
             counter[0] += 1
             return ConvBN(features, (kh, kw), strides, padding, dt, name=f"cbn_{i}")(
-                y, train
+                y, train, frozen=i < frozen_below
             )
 
         # Stem
@@ -146,16 +152,30 @@ class InceptionV3(nn.Module):
         return x
 
 
-# conv index at which each mixed block STARTS (Keras instantiation order);
-# used for partial unfreezing: 'mixed7' ⇒ convs >= MIXED_CONV_START['mixed7']
-# are trainable in phase 2 (train_adipose_classifier_v0.py:493-503 semantics:
-# layers from mixed7 onward unfreeze).
+# conv index at which each mixed block STARTS (Keras instantiation order).
 MIXED_CONV_START = {
     "mixed0": 5, "mixed1": 12, "mixed2": 19, "mixed3": 26,
     "mixed4": 30, "mixed5": 40, "mixed6": 50, "mixed7": 60,
     "mixed8": 70, "mixed9": 76, "mixed10": 85,
 }
 NUM_CONVS = 94
+_MIXED_ORDER = [f"mixed{k}" for k in range(11)]
+
+
+def unfreeze_conv_start(unfreeze_from: str | None) -> int:
+    """First TRAINABLE conv creation-index for ``unfreeze_from_layer``
+    semantics (``train_adipose_classifier_v0.py:361-367``): Keras walks
+    ``base.layers`` topologically and unfreezes from the layer NAMED
+    'mixedK' — the block's Concatenate output, which is created AFTER the
+    block's own convs. So 'mixed7' unfreezes convs 70.. (mixed8 onward),
+    not mixed7's own 60..69 (probed against the live tf_keras graph:
+    tests/test_tf_oracle.py::TestFrozenBNOracle)."""
+    if unfreeze_from is None:
+        return NUM_CONVS
+    k = _MIXED_ORDER.index(unfreeze_from)
+    if k + 1 < len(_MIXED_ORDER):
+        return MIXED_CONV_START[_MIXED_ORDER[k + 1]]
+    return NUM_CONVS
 
 
 class InceptionV3Classifier(nn.Module):
@@ -166,8 +186,14 @@ class InceptionV3Classifier(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        feats = InceptionV3(dtype=self.dtype, name="backbone")(x, train)
+    def __call__(self, x, train: bool = False, frozen_below: int = 0):
+        # frozen_below: conv index below which BNs run in inference mode even
+        # under train=True (Keras trainable=False BN semantics) — NUM_CONVS in
+        # phase 1, MIXED_CONV_START[unfreeze_from] in phase 2. Dropout is NOT
+        # special-cased (Keras Dropout still drops under fit regardless of
+        # trainable).
+        feats = InceptionV3(dtype=self.dtype, name="backbone")(
+            x, train, frozen_below=frozen_below)
         pooled = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
         pooled = nn.Dropout(self.dropout_rate, deterministic=not train)(pooled)
         logit = nn.Dense(1, name="adipose_score")(pooled)
@@ -188,17 +214,25 @@ def preprocess_tiles(gray_batch: jax.Array) -> jax.Array:
     return x / 127.5 - 1.0
 
 
+def frozen_conv_boundary(unfreeze_from: str | None) -> int:
+    """Conv index below which backbone BNs run inference-mode during training
+    (the ``frozen_below`` call arg): the whole backbone when fully frozen
+    (phase 1), every conv before the first trainable one in phase 2
+    (``train_adipose_classifier_v0.py:479-503``)."""
+    return unfreeze_conv_start(unfreeze_from)
+
+
 def backbone_param_mask(params, unfreeze_from: str | None = "mixed7"):
     """Trainability mask for two-phase classifier training.
 
     Phase 1 (``unfreeze_from=None``): whole backbone frozen, head trains
-    (``freeze_backbone``, :364-366). Phase 2: convs from ``unfreeze_from``
-    onward train (``unfreeze_from_layer``, :369-374 — Keras unfreezes every
-    layer at/after the named one).
+    (``freeze_backbone``, :357-359). Phase 2: convs from the layer NAMED
+    ``unfreeze_from`` onward train (``unfreeze_from_layer``, :362-367) —
+    see ``unfreeze_conv_start`` for the exact Keras topological boundary.
     """
     import flax
 
-    start = 0 if unfreeze_from is None else MIXED_CONV_START[unfreeze_from]
+    start = unfreeze_conv_start(unfreeze_from)
     flat = flax.traverse_util.flatten_dict(params)
     mask = {}
     for path in flat:

@@ -200,10 +200,12 @@ def make_unet_predict(model):
 
 
 def make_classifier_train_step(model, label_smoothing: float = 0.1,
-                               stats_mask: Any | None = None):
-    """Classifier step with BN stats; frozen backbone BN keeps running stats
-    un-updated when ``stats_mask`` marks them frozen (Keras freeze semantics:
-    a frozen BN layer runs in inference mode)."""
+                               stats_mask: Any | None = None,
+                               frozen_below: int = 0):
+    """Classifier step with BN stats. ``frozen_below`` makes frozen backbone
+    BNs normalize with MOVING stats during training (Keras ``trainable=False``
+    BN inference-mode semantics); ``stats_mask`` pins their running stats
+    across the step."""
 
     # Default scoped-VMEM budget: the U-Net train_jit 48 MiB budget measured
     # neutral-to-negative on the 299² InceptionV3 program (1151 vs 1151-1165
@@ -215,6 +217,7 @@ def make_classifier_train_step(model, label_smoothing: float = 0.1,
                 {"params": params, "batch_stats": state.batch_stats},
                 images,
                 train=True,
+                frozen_below=frozen_below,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
@@ -248,7 +251,9 @@ def make_classifier_predict(model):
 
 def classifier_stats_mask(batch_stats, param_mask):
     """Derive a BN-stats update mask from the param trainability mask: stats of
-    a frozen ConvBN do not update (Keras frozen-BN inference behavior)."""
+    a frozen ConvBN do not update. This masks only the stats UPDATE; the
+    inference-mode NORMALIZATION half of Keras's frozen-BN behavior is the
+    ``frozen_below`` argument of the model/train step (r3 verdict item 2)."""
     flat_params = flax.traverse_util.flatten_dict(param_mask)
     # trainability is uniform within a cbn_<i> module; index by its path prefix
     trainable_prefix = {}

@@ -35,6 +35,7 @@ from adipose_tpu.data.loader import ClassificationDataset, prefetch_batches
 from adipose_tpu.models.inception import (
     InceptionV3Classifier,
     backbone_param_mask,
+    frozen_conv_boundary,
 )
 from adipose_tpu.ops import losses as L
 from adipose_tpu.ops.metrics import roc_auc
@@ -132,15 +133,23 @@ def _make_preprocess_step(percentile_norm: bool, p_low: float, p_high: float,
     return prep
 
 
-def _make_train_step(model, label_smoothing: float, stats_mask):
-    """Core 299² train step; consumes `_make_preprocess_step` outputs."""
+def _make_train_step(model, label_smoothing: float, stats_mask,
+                     frozen_below: int = 0):
+    """Core 299² train step; consumes `_make_preprocess_step` outputs.
+
+    ``frozen_below``: frozen backbone BNs normalize with MOVING stats during
+    training (Keras ``trainable=False`` BN inference-mode behavior,
+    ``train_adipose_classifier_v0.py:355-358``); ``stats_mask`` additionally
+    pins their running stats (redundant for flax — inference-mode BNs don't
+    mutate — but kept as the single source of truth for checkpoint resume)."""
     @partial(infer_jit, donate_argnums=(0,))
     def step(state: TrainState, x, labels, class_w, drop_key):
 
         def compute(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, rngs={"dropout": drop_key}, mutable=["batch_stats"],
+                x, train=True, frozen_below=frozen_below,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"],
             )
             ls = label_smoothing
             y = labels * (1.0 - ls) + 0.5 * ls
@@ -323,7 +332,9 @@ class ClassifierTrainer:
             self.percentile_norm, cfg.percentile_low, cfg.percentile_high,
             mesh=self.mesh, augment_low_res=self.augment_low_res,
         )
-        train_step = _make_train_step(self.model, self.label_smoothing, smask)
+        train_step = _make_train_step(
+            self.model, self.label_smoothing, smask,
+            frozen_below=frozen_conv_boundary(unfreeze_from))
         val_step = _make_val_step(
             self.model, self.percentile_norm, cfg.percentile_low,
             cfg.percentile_high, mesh=self.mesh,

@@ -10,6 +10,7 @@ from adipose_tpu.models.inception import (
     MIXED_CONV_START,
     backbone_param_mask,
     preprocess_tiles,
+    unfreeze_conv_start,
 )
 from adipose_tpu.models.unet import encoder_param_mask, upsample_nearest_2x
 
@@ -200,7 +201,12 @@ class TestInception:
         import flax
 
         mask = flax.traverse_util.flatten_dict(backbone_param_mask(params, "mixed7"))
-        start = MIXED_CONV_START["mixed7"]
+        # Keras's unfreeze_from_layer flips at the CONCAT layer named
+        # 'mixed7', which comes after mixed7's own convs — so the first
+        # trainable conv is mixed8's (pinned to the live tf_keras graph by
+        # test_tf_oracle.py::TestFrozenBNOracle::test_phase2_unfreeze_boundary)
+        start = unfreeze_conv_start("mixed7")
+        assert start == MIXED_CONV_START["mixed8"]
         for path, v in mask.items():
             if path[0] != "backbone":
                 assert v

@@ -380,3 +380,122 @@ class TestManifestsMatchLiveGraphs:
         from adipose_tpu.models.tf_import import INCEPTION_TOPO_PERM
 
         assert inception_perm() == INCEPTION_TOPO_PERM
+
+
+class TestFrozenBNOracle:
+    """VERDICT r3 item 2: Keras special-cases BatchNormalization under
+    ``layer.trainable = False`` — during ``fit`` the layer runs in INFERENCE
+    mode (normalizes with moving statistics, no update). The reference's
+    ``freeze_backbone`` / ``unfreeze_from_layer``
+    (train_adipose_classifier_v0.py:356-367) therefore make frozen backbone
+    BNs normalize with MOVING stats in phase 1 (all of them) and below the
+    unfreeze boundary in phase 2. The rebuild reproduces that with the
+    ``frozen_below`` argument; this class drives the REFERENCE's own
+    freeze functions on the live tf_keras graph and pins both the forward
+    values and the exact unfreeze boundary.
+
+    Ordering note: tests run top-to-bottom within the class; the class-scoped
+    Keras model's moving stats are only mutated by the LAST test (phase-2
+    training-mode forward updates the unfrozen BNs in place), so earlier
+    tests see pristine stats.
+    """
+
+    @pytest.fixture(scope="class")
+    def ref_cls_module(self):
+        from tf_oracle_util import load_reference_classifier_module
+
+        return load_reference_classifier_module()
+
+    @pytest.fixture(scope="class")
+    def frozen_pair(self):
+        # dropout_rate=0 so training-mode forwards are deterministic (Keras
+        # Dropout ignores `trainable` and would still drop under fit —
+        # mirrored by the rebuild, which doesn't special-case Dropout either)
+        model, base = build_keras_classifier(dropout_rate=0.0, return_base=True)
+        fill_keras_inception(model, seeded_inception_weights())
+        return model, base
+
+    @pytest.fixture(scope="class")
+    def flax_pair(self):
+        from adipose_tpu.models import InceptionV3Classifier
+
+        model = InceptionV3Classifier(dropout_rate=0.0, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))
+        variables = fill_flax_inception(variables, seeded_inception_weights())
+        return model, variables
+
+    def _flax_train_forward(self, flax_pair, x, frozen_below):
+        model, variables = flax_pair
+        out, _ = model.apply(
+            variables, jnp.asarray(x), train=True, frozen_below=frozen_below,
+            rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
+        )
+        return np.asarray(out)
+
+    def test_phase1_frozen_training_forward(self, ref_cls_module, frozen_pair,
+                                            flax_pair):
+        """freeze_backbone ⇒ a training-mode forward equals the rebuild's
+        train=True, frozen_below=NUM_CONVS forward — and differs materially
+        from the unfrozen (batch-stats) forward, so the test has teeth."""
+        from adipose_tpu.models.inception import NUM_CONVS
+
+        model, base = frozen_pair
+        ref_cls_module.freeze_backbone(base)
+        rs = np.random.RandomState(7)
+        x = rs.uniform(-1, 1, (4, 299, 299, 3)).astype(np.float32)
+        tf_prob = np.asarray(model(x, training=True))[:, 0]
+
+        fx_frozen = self._flax_train_forward(flax_pair, x, NUM_CONVS)
+        assert np.abs(fx_frozen - tf_prob).max() <= 5e-5, (
+            f"max|Δ|={np.abs(fx_frozen - tf_prob).max():.3e}")
+
+        fx_batchstats = self._flax_train_forward(flax_pair, x, 0)
+        assert np.abs(fx_batchstats - tf_prob).max() > 1e-3, (
+            "frozen and batch-stats forwards coincide — oracle has no teeth")
+
+    def test_phase2_unfreeze_boundary(self, ref_cls_module, frozen_pair):
+        """unfreeze_from_layer('mixedK') walks base.layers topologically and
+        flips at the CONCATENATE layer named mixedK — the block's own convs
+        (created before it) stay frozen. Pin unfreeze_conv_start against the
+        live graph for every block."""
+        from adipose_tpu.models.inception import (
+            NUM_CONVS,
+            unfreeze_conv_start,
+        )
+
+        def suffix(name, prefix):
+            rest = name[len(prefix):]
+            return 0 if rest == "" else int(rest.lstrip("_"))
+
+        model, base = frozen_pair
+        convs = sorted(
+            (l for l in base.layers if l.__class__.__name__ == "Conv2D"),
+            key=lambda l: suffix(l.name, "conv2d"),
+        )
+        assert len(convs) == NUM_CONVS
+        for k in range(11):
+            ref_cls_module.unfreeze_from_layer(base, f"mixed{k}")
+            # mixed10 is the backbone's final layer: no conv follows its
+            # concat, so unfreezing from it leaves every conv frozen
+            # (boundary == NUM_CONVS).
+            first = next(
+                (i for i, l in enumerate(convs) if l.trainable), NUM_CONVS)
+            assert first == unfreeze_conv_start(f"mixed{k}"), f"mixed{k}"
+
+    def test_phase2_frozen_training_forward(self, ref_cls_module, frozen_pair,
+                                            flax_pair):
+        """Phase-2 semantics: convs below the mixed7 boundary normalize with
+        moving stats, at/after with batch stats. MUST RUN LAST — the Keras
+        training-mode forward updates the unfrozen BNs' moving stats."""
+        from adipose_tpu.models.inception import unfreeze_conv_start
+
+        model, base = frozen_pair
+        ref_cls_module.freeze_backbone(base)
+        ref_cls_module.unfreeze_from_layer(base, "mixed7")
+        rs = np.random.RandomState(8)
+        x = rs.uniform(-1, 1, (4, 299, 299, 3)).astype(np.float32)
+        tf_prob = np.asarray(model(x, training=True))[:, 0]
+
+        fx = self._flax_train_forward(flax_pair, x, unfreeze_conv_start("mixed7"))
+        assert np.abs(fx - tf_prob).max() <= 5e-5, (
+            f"max|Δ|={np.abs(fx - tf_prob).max():.3e}")

@@ -50,6 +50,26 @@ def load_reference_unet_module():
     return mod
 
 
+def load_reference_classifier_module():
+    """Import the reference's train_adipose_classifier_v0.py — source of the
+    freeze_backbone / unfreeze_from_layer functions the frozen-BN oracle
+    drives (train_adipose_classifier_v0.py:356-367)."""
+    setup_tf_env()
+    if "tifffile" not in sys.modules:
+        sys.modules["tifffile"] = types.ModuleType("tifffile")
+    if _REF not in sys.path:
+        sys.path.insert(0, _REF)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_adipose_classifier_v0",
+        f"{_REF}/Classification/train_adipose_classifier_v0.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def load_reference_model_utils():
     """Import the reference's src/utils/model.py (loss/metric oracles).
 
@@ -221,9 +241,11 @@ def fill_flax_inception(variables: dict, weights: dict) -> dict:
     return out
 
 
-def build_keras_classifier(dropout_rate: float = 0.4):
+def build_keras_classifier(dropout_rate: float = 0.4, return_base: bool = False):
     """The reference classifier graph (train_adipose_classifier_v0.py:312-319)
-    built directly under tf_keras (weights=None — DNS-blocked env)."""
+    built directly under tf_keras (weights=None — DNS-blocked env).
+    ``return_base=True`` additionally returns the InceptionV3 base model —
+    the object the reference's freeze/unfreeze functions operate on."""
     setup_tf_env()
     from tf_keras import Model
     from tf_keras.applications.inception_v3 import InceptionV3
@@ -234,4 +256,5 @@ def build_keras_classifier(dropout_rate: float = 0.4):
     x = GlobalAveragePooling2D()(x)
     x = Dropout(dropout_rate)(x)
     out = Dense(1, activation="sigmoid", name="adipose_score")(x)
-    return Model(inputs=base.input, outputs=out)
+    model = Model(inputs=base.input, outputs=out)
+    return (model, base) if return_base else model
