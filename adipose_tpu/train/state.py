@@ -75,20 +75,81 @@ def unet_loss_from_config(cfg) -> Callable:
 # ---- Optimizer --------------------------------------------------------------
 
 
+class _KerasAdamState(struct.PyTreeNode):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def scale_by_keras_adam(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """TF/Keras Adam's exact update form (tf_keras ``Adam.update_step``):
+
+        θ -= lr · √(1−β₂ᵗ)/(1−β₁ᵗ) · m / (√v + ε)
+
+    with ε (Keras default 1e-7) added OUTSIDE the *uncorrected* √v.
+    ``optax.scale_by_adam`` instead computes m̂/(√v̂+ε) with bias-corrected
+    v̂ = v/(1−β₂ᵗ), so its ε is effectively Keras's ε/√(1−β₂ᵗ) — a 31.6×
+    mismatch at step 1. The reference compiles plain ``Adam(learning_rate=lr)``
+    (``train_adipose_unet_v3.py:805``, ``train_adipose_classifier_v0.py:370``);
+    one-step parity is pinned by tests/test_tf_oracle.py::TestTrainingOracle.
+    """
+
+    def init_fn(params):
+        return _KerasAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        mu = jax.tree.map(lambda g, m: m + (1 - b1) * (g - m), updates, state.mu)
+        nu = jax.tree.map(lambda g, v: v + (1 - b2) * (g * g - v), updates, state.nu)
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        alpha = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        out = jax.tree.map(lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu)
+        return out, _KerasAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _keras_adam(learning_rate: float) -> optax.GradientTransformation:
+    return optax.chain(
+        scale_by_keras_adam(), optax.scale_by_learning_rate(learning_rate)
+    )
+
+
+def _keras_adamw(
+    learning_rate: float, weight_decay: float
+) -> optax.GradientTransformation:
+    # Keras AdamW applies decoupled decay θ·wd·lr in apply_gradients before
+    # update_step; since the adam term doesn't read θ, that equals optax's
+    # add-then-scale ordering exactly.
+    return optax.chain(
+        scale_by_keras_adam(),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def make_optimizer(
     optimizer: str = "adam",
     lr: float = 1e-4,
     weight_decay: float = 0.01,
     trainable_mask: Any | None = None,
 ) -> optax.GradientTransformation:
-    """Adam or AdamW (reference :806-813) with optional frozen-leaf mask and an
-    injected learning rate (``.hyperparams['learning_rate']``)."""
+    """Adam or AdamW (reference :806-813) in Keras's exact update form (see
+    ``scale_by_keras_adam``), with optional frozen-leaf mask and an injected
+    learning rate (``.hyperparams['learning_rate']``)."""
     if optimizer.lower() == "adamw":
-        base = optax.inject_hyperparams(optax.adamw)(
+        base = optax.inject_hyperparams(_keras_adamw)(
             learning_rate=lr, weight_decay=weight_decay
         )
     else:
-        base = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        base = optax.inject_hyperparams(_keras_adam)(learning_rate=lr)
     if trainable_mask is None:
         return base
     return optax.multi_transform(

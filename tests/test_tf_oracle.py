@@ -12,6 +12,8 @@ Skipped wholesale when tf_keras is not installed (the committed
 that case — see test_golden.py::TestTFOracleGoldens).
 """
 
+from functools import partial
+
 import numpy as np
 import pytest
 
@@ -48,7 +50,8 @@ def ref_unet_module():
     return load_reference_unet_module()
 
 
-def _build_ref_unet(ref, tmp_path, ds, init_nb=4):
+def _build_ref_unet_with_trainer(ref, tmp_path, ds, init_nb=4,
+                                 dropout_rate=0.3):
     import os
 
     cwd = os.getcwd()
@@ -56,9 +59,13 @@ def _build_ref_unet(ref, tmp_path, ds, init_nb=4):
     try:
         m = ref.AdiposeUNetV3(checkpoint_name="tmp", use_deep_supervision=ds,
                               build_timestamp="20260101_000000")
-        return m.build_model(init_nb=init_nb)
+        return m, m.build_model(init_nb=init_nb, dropout_rate=dropout_rate)
     finally:
         os.chdir(cwd)
+
+
+def _build_ref_unet(ref, tmp_path, ds, init_nb=4):
+    return _build_ref_unet_with_trainer(ref, tmp_path, ds, init_nb)[1]
 
 
 class TestUNetRealFileRoundtrip:
@@ -499,3 +506,240 @@ class TestFrozenBNOracle:
         fx = self._flax_train_forward(flax_pair, x, unfreeze_conv_start("mixed7"))
         assert np.abs(fx - tf_prob).max() <= 5e-5, (
             f"max|Δ|={np.abs(fx - tf_prob).max():.3e}")
+
+
+class TestTrainingOracle:
+    """VERDICT r3 item 1: training is the last numerical surface. Pin the
+    rebuild's TRAIN step against the reference trainer run in-process:
+    (a) full-graph gradients of the compiled loss, (b) one Adam optimizer step
+    (Keras Adam's exact update form — see ``train.state.scale_by_keras_adam``),
+    (c) a 25-step loss trajectory through ``train_on_batch`` on identical
+    synthetic batches. Reference: ``train_adipose_unet_v3.py:780-879``
+    (compile), ``:1316-1421`` (fit loops).
+
+    dropout_rate=0 on both sides: framework RNGs can't be aligned, and dropout
+    is the only stochastic layer in the graph. Plain-model tests run 256²
+    tiles via ``build_ref_unet_at_size`` (the reference's own layer stack,
+    only the hardcoded 1024 input size patched) to keep TF-CPU runtime sane;
+    the DS graph can't be rebuilt small (its aux-resize Lambdas re-trace at
+    fit time with the hardcoded 1024), so its gradient test runs native 1024².
+    """
+
+    SIZE, NB, B, LR = 256, 4, 2, 1e-4
+
+    @pytest.fixture(scope="class")
+    def ref_unet_module(self):
+        from tf_oracle_util import load_reference_unet_module
+
+        return load_reference_unet_module()
+
+    def _synth_batches(self, n, size=None):
+        """Deterministic blob-mask batches; images correlated with masks so
+        training has signal."""
+        rs = np.random.RandomState(5)
+        S, B = size or self.SIZE, self.B
+        yy, xx = np.mgrid[0:S, 0:S]
+        out = []
+        for _ in range(n):
+            x = rs.standard_normal((B, S, S)).astype(np.float32)
+            masks = []
+            for _ in range(B):
+                cx, cy = rs.randint(40, S - 40), rs.randint(40, S - 40)
+                r = rs.randint(20, 60)
+                masks.append(((xx - cx) ** 2 + (yy - cy) ** 2 < r * r))
+            y = np.stack(masks).astype(np.float32)
+            out.append(((x * 0.3 + y * 2.0 - 1.0).astype(np.float32), y))
+        return out
+
+    def _ref_pair(self, ref_unet_module, tmp_path, ds=False):
+        from tf_oracle_util import (
+            build_ref_unet_at_size,
+            fill_keras_unet,
+            seeded_unet_weights,
+        )
+
+        if ds:  # DS graph is 1024-only (aux-resize Lambdas; see class doc)
+            trainer, net = _build_ref_unet_with_trainer(
+                ref_unet_module, tmp_path, ds=True, init_nb=self.NB,
+                dropout_rate=0.0)
+        else:
+            trainer, net = build_ref_unet_at_size(
+                ref_unet_module, tmp_path, self.SIZE, self.NB,
+                dropout_rate=0.0)
+        trainer.unfreeze_encoder()
+        fill_keras_unet(net, seeded_unet_weights(self.NB, ds=ds))
+        return trainer, net
+
+    def _flax_pair(self, ds=False):
+        from tf_oracle_util import fill_flax_unet, seeded_unet_weights
+
+        from adipose_tpu.models.unet import DilatedUNet
+
+        model = DilatedUNet(init_nb=self.NB, compute_dtype=jnp.float32,
+                            dropout_rate=0.0, use_deep_supervision=ds)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64)))
+        return model, fill_flax_unet(variables, seeded_unet_weights(self.NB, ds=ds))
+
+    @pytest.mark.parametrize("ds", [False, True], ids=["plain", "deep_supervision"])
+    def test_gradient_parity(self, ref_unet_module, tmp_path, ds):
+        """∂loss/∂θ for every layer of the full (unfrozen) graph, under the
+        loss the reference compiles with (OHEM ratio 0.7 main; DS adds
+        1.0/0.4/0.3-weighted aux combined losses)."""
+        import tensorflow as tf
+
+        from tf_oracle_util import flax_unet_grads_by_layer, keras_grads_by_layer
+
+        from adipose_tpu.ops import losses as L
+
+        _, net = self._ref_pair(ref_unet_module, tmp_path, ds)
+        (x, y), = self._synth_batches(1, size=1024 if ds else None)
+
+        if ds:
+            def tf_loss(yt, pred):
+                return (
+                    1.0 * tf.reduce_mean(
+                        ref_unet_module.online_hard_example_mining_loss(
+                            yt, pred["main_out"], 0.7))
+                    + 0.4 * tf.reduce_mean(
+                        ref_unet_module.combined_loss_standard(yt, pred["aux_out1"]))
+                    + 0.3 * tf.reduce_mean(
+                        ref_unet_module.combined_loss_standard(yt, pred["aux_out2"]))
+                )
+
+            def jx_loss(yt, out):
+                return L.deep_supervision_loss(
+                    yt, out, partial(L.ohem_loss, keep_ratio=0.7),
+                    L.combined_loss_standard, 1.0, 0.4, 0.3)
+        else:
+            def tf_loss(yt, pred):
+                return tf.reduce_mean(
+                    ref_unet_module.online_hard_example_mining_loss(yt, pred, 0.7))
+
+            def jx_loss(yt, out):
+                return L.ohem_loss(yt, out, keep_ratio=0.7)
+
+        tf_loss_val, tf_grads = keras_grads_by_layer(net, tf_loss, x, y)
+
+        model, variables = self._flax_pair(ds)
+
+        def compute(params):
+            out = model.apply({"params": params}, jnp.asarray(x), train=True)
+            return jx_loss(jnp.asarray(y), out)
+
+        jx_loss_val, jx_grads = jax.value_and_grad(compute)(variables["params"])
+        assert abs(float(jx_loss_val) - tf_loss_val) <= 2e-5, (
+            f"loss Δ={abs(float(jx_loss_val) - tf_loss_val):.3e}")
+
+        fx = flax_unet_grads_by_layer(jx_grads)
+        assert set(tf_grads) == set(fx)
+        for key, ref_g in tf_grads.items():
+            got = fx[key]
+            rel = np.abs(ref_g - got).max() / (np.abs(ref_g).max() + 1e-12)
+            # observed ≤6e-4 (f32 oneDNN-vs-XLA reassociation through 22
+            # convs); 3e-3 bound keeps real mapping bugs (≫1) loud
+            assert rel <= 3e-3, f"{key}: max rel grad Δ={rel:.3e}"
+
+    def test_one_adam_step_parity(self, ref_unet_module, tmp_path):
+        """train_on_batch (compiled Adam lr=1e-4, OHEM loss) vs the rebuild's
+        train step: parameter UPDATES must agree elementwise wherever the
+        gradient is significant. (Near-zero-gradient elements are excluded:
+        Adam's first-step update there is ±lr·sign(g), and sign(g) is exactly
+        the f32 noise the gradient test bounds.)"""
+        import tensorflow as tf
+
+        from tf_oracle_util import keras_grads_by_layer
+
+        from adipose_tpu.ops import losses as L
+        from adipose_tpu.train.state import (
+            TrainState,
+            make_optimizer,
+            make_unet_train_step,
+        )
+
+        trainer, net = self._ref_pair(ref_unet_module, tmp_path)
+        trainer.compile_model(lr=self.LR, use_hard_mining=True,
+                              hard_example_ratio=0.7)
+        (x, y), = self._synth_batches(1)
+
+        w_before = {l.name: l.get_weights() for l in net.layers
+                    if len(l.get_weights()) == 2}
+        _, tf_grads = keras_grads_by_layer(
+            net, lambda yt, yp: tf.reduce_mean(
+                ref_unet_module.online_hard_example_mining_loss(yt, yp, 0.7)),
+            x, y)
+        logs = net.train_on_batch(x, y, return_dict=True)
+        w_after = {l.name: l.get_weights() for l in net.layers
+                   if len(l.get_weights()) == 2}
+
+        model, variables = self._flax_pair()
+        tx = make_optimizer("adam", lr=self.LR)
+        state = TrainState.create({"params": variables["params"]}, tx)
+        step = make_unet_train_step(
+            model, lambda yt, out: L.ohem_loss(yt, out, keep_ratio=0.7))
+        state, metrics = step(state, jnp.asarray(x), jnp.asarray(y),
+                              jax.random.PRNGKey(0))
+        assert abs(float(metrics["loss"]) - float(logs["loss"])) <= 2e-5
+
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(state.params["params"])
+        for path, v in flat.items():
+            layer, leaf = path[-2], path[-1]
+            idx = 0 if leaf == "kernel" else 1
+            ref_delta = w_after[layer][idx] - w_before[layer][idx]
+            got_delta = np.asarray(v) - w_before[layer][idx]
+            g = tf_grads[(layer, leaf)]
+            sig = np.abs(g) > 1e-3 * (np.abs(g).max() + 1e-12)
+            assert sig.any(), (layer, leaf)
+            d = np.abs(ref_delta - got_delta)[sig].max()
+            # updates are ~lr=1e-4 elementwise; 5e-6 = 5% of a full step
+            assert d <= 5e-6, f"{layer}/{leaf}: max|Δupdate|={d:.3e}"
+
+    def test_trajectory_parity_25_steps(self, ref_unet_module, tmp_path):
+        """25 train_on_batch steps vs 25 rebuild steps on identical batches:
+        per-step losses track to ≤5e-4 and final params agree — the compiled
+        loss, gradients, and Keras-form Adam compose identically over a real
+        trajectory."""
+        from adipose_tpu.ops import losses as L
+        from adipose_tpu.train.state import (
+            TrainState,
+            make_optimizer,
+            make_unet_train_step,
+        )
+
+        trainer, net = self._ref_pair(ref_unet_module, tmp_path)
+        trainer.compile_model(lr=self.LR, use_hard_mining=True,
+                              hard_example_ratio=0.7)
+        batches = self._synth_batches(25)
+
+        tf_losses = [
+            float(net.train_on_batch(x, y, return_dict=True)["loss"])
+            for x, y in batches
+        ]
+
+        model, variables = self._flax_pair()
+        tx = make_optimizer("adam", lr=self.LR)
+        state = TrainState.create({"params": variables["params"]}, tx)
+        step = make_unet_train_step(
+            model, lambda yt, out: L.ohem_loss(yt, out, keep_ratio=0.7))
+        key = jax.random.PRNGKey(0)
+        jx_losses = []
+        for x, y in batches:
+            state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+            jx_losses.append(float(m["loss"]))
+
+        tf_l, jx_l = np.asarray(tf_losses), np.asarray(jx_losses)
+        assert np.abs(tf_l - jx_l).max() <= 5e-4, (
+            f"per-step loss divergence: max|Δ|={np.abs(tf_l - jx_l).max():.3e}")
+
+        import flax
+
+        w_final = {l.name: l.get_weights() for l in net.layers
+                   if len(l.get_weights()) == 2}
+        flat = flax.traverse_util.flatten_dict(state.params["params"])
+        for path, v in flat.items():
+            layer, leaf = path[-2], path[-1]
+            ref = w_final[layer][0 if leaf == "kernel" else 1]
+            rel = np.abs(np.asarray(v) - ref).max() / (np.abs(ref).max() + 1e-12)
+            # observed ≤3e-4 after 25 steps
+            assert rel <= 2e-3, f"{layer}/{leaf}: rel param Δ={rel:.3e}"

@@ -33,12 +33,23 @@ def setup_tf_env():
 
 
 def load_reference_unet_module():
-    """Import the reference's train_adipose_unet_v3.py (tifffile stubbed)."""
+    """Import the reference's train_adipose_unet_v3.py (tifffile stubbed).
+
+    Pre-registers the tf_keras-rewritten ``src.utils.model`` (see
+    ``load_reference_model_utils``) so the trainer's ``dice_coef`` metric —
+    which does ``from keras import backend as K`` — binds the Keras-2 API it
+    was written for even when Keras 3 owns the ``keras`` name; otherwise
+    ``model.compile(metrics=[dice_coef])`` dies at fit time on
+    ``K.flatten``."""
     setup_tf_env()
     if "tifffile" not in sys.modules:
         sys.modules["tifffile"] = types.ModuleType("tifffile")
     if _REF not in sys.path:
         sys.path.insert(0, _REF)
+    if "src.utils.model" not in sys.modules:
+        import src.utils  # noqa: F401 — parent packages must exist first
+
+        sys.modules["src.utils.model"] = load_reference_model_utils()
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -68,6 +79,64 @@ def load_reference_classifier_module():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def build_ref_unet_at_size(ref_mod, tmp_path, size: int, init_nb: int = 4,
+                           dropout_rate: float = 0.3):
+    """Build the reference's OWN ``AdiposeUNetV3.build_model`` graph (plain,
+    non-DS) at a smaller tile size: its Input/Reshape hardcode 1024
+    (train_adipose_unet_v3.py:664-665); everything else in the plain layer
+    stack is shape-agnostic. The module globals are patched for the duration
+    of the build only — the layers themselves are the reference's. Deep
+    supervision is NOT supported: its aux ``tf.image.resize([1024,1024])``
+    Lambdas (:717-726) are re-traced by Keras at fit time, outside any
+    build-scoped patch — build DS models at the native 1024.
+    Returns (trainer_instance, net)."""
+    import os
+
+    orig_input, orig_reshape = ref_mod.Input, ref_mod.Reshape
+    ref_mod.Input = lambda shape=None, **kw: orig_input(shape=(size, size), **kw)
+    ref_mod.Reshape = lambda target, **kw: orig_reshape((size, size, 1), **kw)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # constructor mkdirs checkpoints/ under CWD
+    try:
+        m = ref_mod.AdiposeUNetV3(checkpoint_name="tmp",
+                                  use_deep_supervision=False,
+                                  build_timestamp="20260101_000000")
+        net = m.build_model(init_nb=init_nb, dropout_rate=dropout_rate)
+        return m, net
+    finally:
+        os.chdir(cwd)
+        ref_mod.Input, ref_mod.Reshape = orig_input, orig_reshape
+
+
+def keras_grads_by_layer(net, loss_value_fn, x, y):
+    """∂(scalar loss)/∂θ of the reference net via GradientTape, keyed by
+    ``(layer_name, 'kernel'|'bias')``."""
+    import tensorflow as tf
+
+    with tf.GradientTape() as tape:
+        pred = net(x, training=True)
+        loss = loss_value_fn(y, pred)
+    grads = tape.gradient(loss, net.trainable_variables)
+    out = {}
+    for var, g in zip(net.trainable_variables, grads):
+        name = var.name.split(":")[0]          # e.g. down1_conv1/kernel
+        layer, leaf = name.split("/")[-2:]
+        out[(layer, leaf)] = np.asarray(g)
+    return float(loss), out
+
+
+def flax_unet_grads_by_layer(grads_tree) -> dict:
+    """Flatten a flax U-Net grad tree to the same keys as
+    ``keras_grads_by_layer`` (reference layer names appear in the path)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(grads_tree)
+    out = {}
+    for path, g in flat.items():
+        out[(path[-2], path[-1])] = np.asarray(g)
+    return out
 
 
 def load_reference_model_utils():
