@@ -347,6 +347,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "opt-in deviation, PARITY.md #15 — the reference "
                          "augments at native resolution)")
     tc.add_argument("--pos-weight-multiplier", type=float, default=1.0)
+    tc.add_argument("--prep-megabatch", type=int, default=4,
+                    help="train-batches preprocessed per device dispatch "
+                         "(amortizes dispatch latency; draws identical to 1)")
     tc.add_argument("--save-best-only", dest="save_best_only",
                     action="store_true", default=True)
     tc.add_argument("--no-save-best-only", dest="save_best_only",
@@ -1057,6 +1060,7 @@ def cmd_train_classifier(args):
         patience=args.patience, save_best_only=args.save_best_only,
         pretrained_weights=args.pretrained_weights,
         augment_low_res=args.augment_low_res,
+        prep_megabatch=args.prep_megabatch,
     )
     from adipose_tpu.core.profiling import trace
 

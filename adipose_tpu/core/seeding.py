@@ -62,6 +62,28 @@ def key_for(domain: str, seed: int | None = None, index: int | None = None) -> j
     return key
 
 
+def keys_for_batch_range(domain: str, seed: int | None, indices) -> np.ndarray:
+    """``split(key_for(domain, seed, i))`` for every i in ``indices``, in ONE
+    device program, downloaded to host.
+
+    Per-iteration ``key_for`` calls each dispatch a tiny fold_in program —
+    ~100 ms apiece on the axon tunnel (BASELINE.md r3 lessons) — so epoch
+    loops precompute their whole key schedule here. Returns (n, 2, 2) uint32:
+    ``[i, 0]`` / ``[i, 1]`` are exactly the two keys
+    ``jax.random.split(key_for(domain, seed, indices[i]))`` yields.
+    """
+    import jax.numpy as jnp
+
+    base = key_for(domain, seed)
+
+    def go(base_key, idxs):
+        ks = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idxs)
+        return jax.vmap(jax.random.split)(ks)
+
+    return np.asarray(
+        jax.jit(go)(base, jnp.asarray(np.asarray(indices), jnp.uint32)))
+
+
 def seed_everything(seed: int | None = None) -> int:
     """Seed host-side RNGs (numpy / python) for reproducible host preprocessing.
 

@@ -446,12 +446,8 @@ def augment_batch(key: jax.Array, images: jax.Array, masks: jax.Array,
     return batched_tier(key, images, masks, tier)
 
 
-def batched_classification(key: jax.Array, images: jax.Array, mesh=None):
-    """Batched classifier-tile augmentation, traceable inside other jits.
-    ``mesh`` as in :func:`batched_tier`."""
-    geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
-    tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
-
+def _classification_stage(images, tids, rest_keys, mesh=None):
+    """Shared classifier-aug core over per-sample (tid, rest-key) draws."""
     def stage(imgs, tids_l, rest_l):
         imgs = apply_transform_batch(imgs, tids_l)
         out, _ = jax.vmap(_rest_classification)(rest_l, imgs,
@@ -468,6 +464,32 @@ def batched_classification(key: jax.Array, images: jax.Array, mesh=None):
             in_specs=(P("data", None, None), P("data"), P("data")),
             out_specs=P("data", None, None))
     return stage(images, tids, rest_keys)
+
+
+def batched_classification(key: jax.Array, images: jax.Array, mesh=None):
+    """Batched classifier-tile augmentation, traceable inside other jits.
+    ``mesh`` as in :func:`batched_tier`."""
+    geo_keys, rest_keys = _split_batch_keys(key, images.shape[0])
+    tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
+    return _classification_stage(images, tids, rest_keys, mesh=mesh)
+
+
+def batched_classification_grouped(keys: jax.Array, images: jax.Array,
+                                   mesh=None):
+    """K stacked train-batches augmented in ONE stage: ``keys`` is (K, 2)
+    legacy PRNG keys, ``images`` is (K·B, H, W) — per-sample draws are
+    bit-identical to K separate :func:`batched_classification`
+    ``(keys[k], images[kB:(k+1)B])`` calls (pinned in tests/test_data.py).
+    The classifier trainer megabatches its prep program through this to
+    amortize axon dispatch latency over K train steps (BASELINE.md r4)."""
+    K = keys.shape[0]
+    B = images.shape[0] // K
+    assert K * B == images.shape[0], (keys.shape, images.shape)
+    geo_keys, rest_keys = jax.vmap(_split_batch_keys, in_axes=(0, None))(keys, B)
+    geo_keys = geo_keys.reshape(K * B, *geo_keys.shape[2:])
+    rest_keys = rest_keys.reshape(K * B, *rest_keys.shape[2:])
+    tids = jax.vmap(lambda k: jax.random.randint(k, (), 0, 8))(geo_keys)
+    return _classification_stage(images, tids, rest_keys, mesh=mesh)
 
 
 @jax.jit

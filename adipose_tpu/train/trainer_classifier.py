@@ -29,8 +29,7 @@ import numpy as np
 
 from adipose_tpu.core.config import ClassifierConfig, TrainConfig
 from adipose_tpu.core.jitopts import infer_jit
-from adipose_tpu.core.seeding import key_for
-from adipose_tpu.data.augment import batched_classification
+from adipose_tpu.core.seeding import key_for, keys_for_batch_range
 from adipose_tpu.data.loader import ClassificationDataset, prefetch_batches
 from adipose_tpu.models.inception import (
     InceptionV3Classifier,
@@ -92,17 +91,22 @@ def _percentile_norm_255(imgs, p_low: float, p_high: float, mesh=None):
 
 
 def _make_preprocess_step(percentile_norm: bool, p_low: float, p_high: float,
-                          mesh=None, augment_low_res: bool = False):
-    """u8/float tiles (B, H, W) + aug key → (B, 299, 299, 3) train inputs.
+                          mesh=None, augment_low_res: bool = False,
+                          batch_size: int | None = None):
+    """u8/float tiles (K·B, H, W) + (K, 2) batch keys → K (B, 299, 299, 3)
+    train inputs.
 
     Deliberately its OWN jitted program, separate from the train step: the
-    epoch loop dispatches batch k+1's preprocessing while the 299² train
-    step for batch k is still in flight — stably 227.7/238.9 imgs/s b32
-    across runs, ≥ the fused single program (131.4/256.5 — ±2× runtime
-    noise) and immune to the UNpipelined split's dispatch pathology (5–30
-    s/step in 3 of 5 runs: the axon runtime intermittently blocks when a
+    epoch loop dispatches mega-batch m+1's preprocessing while the 299² train
+    steps for mega-batch m are still in flight (the 1-deep pipeline is
+    immune to the UNpipelined split's dispatch pathology: 5–30 s/step in 3
+    of 5 runs — the axon runtime intermittently blocks when a
     just-dispatched program's output is consumed by the very next dispatch).
-    scripts/bench_classifier_full_train.py; BASELINE.md r3.
+    MEGABATCHING (K train-batches per prep dispatch,
+    :func:`adipose_tpu.data.augment.batched_classification_grouped` — draws
+    bit-identical to K separate per-batch programs) amortizes the per-dispatch
+    round-trip that dominated the split prep at K=1.
+    scripts/bench_classifier_full_train.py; BASELINE.md r3/r4.
 
     ``augment_low_res`` (OPT-IN deviation, PARITY.md #15): run the
     augmentation AFTER the 299² resize — ~11.7× fewer pixels for the
@@ -117,18 +121,29 @@ def _make_preprocess_step(percentile_norm: bool, p_low: float, p_high: float,
     and does NOT compile at the 16 MiB default ("Ran out of memory in memory
     space vmem ... 23.82M and limit 16.00M", measured 2026-08-18).
     """
+    from adipose_tpu.data.augment import batched_classification_grouped
+
     @infer_jit
-    def prep(images_u8, aug_key):
+    def prep(images_u8, aug_keys):
+        keys = aug_keys if aug_keys.ndim == 2 else aug_keys[None]
         imgs = images_u8.astype(jnp.float32)
         if percentile_norm:
             imgs = _percentile_norm_255(imgs, p_low, p_high, mesh=mesh)
         if not augment_low_res:
-            imgs = batched_classification(aug_key, imgs, mesh=mesh)
+            imgs = batched_classification_grouped(keys, imgs, mesh=mesh)
         # resize 299² → 3ch → inception preprocess (:286-297)
         x = jax.image.resize(imgs[..., None], (imgs.shape[0], 299, 299, 1), "bilinear")
         if augment_low_res:
-            x = batched_classification(aug_key, x[..., 0], mesh=mesh)[..., None]
-        return jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+            x = batched_classification_grouped(
+                keys, x[..., 0], mesh=mesh)[..., None]
+        out = jnp.tile(x, (1, 1, 1, 3)) / 127.5 - 1.0
+        if batch_size is None:
+            return out
+        # K separate outputs (not one sliced-later array): each train step
+        # consumes its own program result, avoiding per-step device slices
+        k = out.shape[0] // batch_size
+        return tuple(out[i * batch_size : (i + 1) * batch_size]
+                     for i in range(k))
 
     return prep
 
@@ -235,6 +250,7 @@ class ClassifierTrainer:
         save_best_only: bool = True,
         pretrained_weights: str | Path | None = None,
         augment_low_res: bool = False,
+        prep_megabatch: int = 4,
     ):
         # classifier LRs: 1e-3 warmup / 1e-4 fine-tune (:479-503)
         self.cfg = cfg or TrainConfig(batch_size=16, lr_phase1=1e-3,
@@ -247,6 +263,10 @@ class ClassifierTrainer:
         self.pretrained_weights = pretrained_weights
         # opt-in: augment at 299² after the resize (PARITY.md deviation 15)
         self.augment_low_res = augment_low_res
+        # K train-batches preprocessed per prep dispatch (1 disables) —
+        # amortizes the axon per-dispatch round-trip; draws are bit-identical
+        # to K=1 (batched_classification_grouped)
+        self.prep_megabatch = max(1, int(prep_megabatch))
         self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
         root = Path(dataset_root)
         self.train_data = ClassificationDataset(root / train_split, self.cfg.batch_size, self.cfg.seed)
@@ -331,6 +351,7 @@ class ClassifierTrainer:
         prep_step = _make_preprocess_step(
             self.percentile_norm, cfg.percentile_low, cfg.percentile_high,
             mesh=self.mesh, augment_low_res=self.augment_low_res,
+            batch_size=cfg.batch_size,
         )
         train_step = _make_train_step(
             self.model, self.label_smoothing, smask,
@@ -345,30 +366,57 @@ class ClassifierTrainer:
         class_w = jnp.asarray([self.class_weights[0], self.class_weights[1]], jnp.float32)
 
         best_auc, best_vars = -np.inf, variables
+        K = self.prep_megabatch
         for epoch in range(epochs):
             t0 = time.time()
             tms = []
-            # Software pipeline, one batch deep: batch k+1's upload +
-            # preprocess program are dispatched BEFORE batch k's train step
-            # is consumed, so the u8 transfer and the norm/aug/resize
-            # program overlap the in-flight 299² step (see
-            # _make_preprocess_step). Key split matches the old fused step
-            # (aug_key, drop_key = split(rng)) so augmentation draws are
-            # unchanged.
+            # Key schedule for the whole epoch in ONE device program
+            # (per-iteration key_for dispatches are ~100 ms on axon —
+            # BASELINE.md r3 lessons). pairs[b] replays exactly the old
+            # per-batch split(key_for(..., epoch*100003+b)) → (aug, drop),
+            # so augmentation/dropout draws are unchanged.
+            max_b = -(-len(self.train_data) // cfg.batch_size) + 1
+            pairs = keys_for_batch_range(
+                f"cls.p{phase}", cfg.seed,
+                epoch * 100003 + np.arange(max_b))
+
+            # Software pipeline, one MEGA-batch deep: K train-batches are
+            # uploaded + preprocessed per prep dispatch
+            # (_make_preprocess_step megabatching), dispatched BEFORE the
+            # previous mega's K train steps are consumed — the u8 transfer
+            # and the norm/aug/resize program overlap the in-flight 299²
+            # steps, and the prep round-trip is amortized over K steps.
+            def mega_groups():
+                buf = []
+                for b, (imgs, labels) in enumerate(prefetch_batches(
+                        self.train_data.epoch_batches(epoch))):
+                    buf.append((b, imgs, labels))
+                    if len(buf) == K:
+                        yield buf
+                        buf = []
+                if buf:
+                    yield buf
+
             pending = None
-            for b, (imgs, labels) in enumerate(
-                    prefetch_batches(self.train_data.epoch_batches(epoch))):
-                rng = key_for(f"cls.p{phase}", cfg.seed, epoch * 100003 + b)
-                aug_key, drop_key = jax.random.split(rng)
-                imgs, labels = shard_batch(self.mesh, (imgs, labels))
-                x = prep_step(imgs, aug_key)
+            for group in mega_groups():
+                bs = [b for b, _, _ in group]
+                imgs = np.concatenate([im for _, im, _ in group])
+                imgs = shard_batch(self.mesh, imgs)
+                xs = prep_step(imgs, jnp.asarray(pairs[bs, 0]))
+                steps = [
+                    (x, shard_batch(self.mesh, labels), class_w,
+                     jnp.asarray(pairs[b, 1]))
+                    for x, (b, _, labels) in zip(xs, group)
+                ]
                 if pending is not None:
-                    state, m = train_step(state, *pending)
-                    tms.append(m)
-                pending = (x, labels, class_w, drop_key)
+                    for s in pending:
+                        state, m = train_step(state, *s)
+                        tms.append(m)
+                pending = steps
             if pending is not None:
-                state, m = train_step(state, *pending)
-                tms.append(m)
+                for s in pending:
+                    state, m = train_step(state, *s)
+                    tms.append(m)
             probs, labels_all = [], []
             for imgs, labels in prefetch_batches(
                     self.val_data.epoch_batches(epoch, shuffle=False)):

@@ -100,6 +100,31 @@ class TestAugment:
         got = augment.batched_classification(key, imgs)
         assert np.array_equal(np.asarray(want), np.asarray(got))
 
+    def test_batched_classification_grouped_bit_identical(self, rng):
+        """Megabatched prep (K stacked train-batches, one aug stage) must
+        replay exactly the per-batch draws — the classifier trainer's
+        megabatching changes dispatch granularity, never values."""
+        K, B = 3, 4
+        imgs = jnp.asarray((rng.rand(K * B, 32, 32) * 255).astype(np.float32))
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(100, 100 + K))
+        want = jnp.concatenate([
+            augment.batched_classification(keys[k], imgs[k * B:(k + 1) * B])
+            for k in range(K)
+        ])
+        got = augment.batched_classification_grouped(keys, imgs)
+        assert np.array_equal(np.asarray(want), np.asarray(got))
+
+    def test_keys_for_batch_range_replays_key_for(self):
+        """The one-program epoch key schedule must equal the per-iteration
+        key_for + split draws it replaced (trainer_classifier epoch loop)."""
+        from adipose_tpu.core.seeding import key_for, keys_for_batch_range
+
+        idxs = 7 * 100003 + np.arange(5)
+        pairs = keys_for_batch_range("cls.p1", 865, idxs)
+        for i, b in enumerate(idxs):
+            want = np.asarray(jax.random.split(key_for("cls.p1", 865, int(b))))
+            assert np.array_equal(pairs[i], want), b
+
     def test_random_d4_uniform_over_group(self):
         """random_d4 replaces the reference's rot90+flip composition; the 16
         (k, lr, ud) combos hit each D4 element exactly twice, so a uniform
