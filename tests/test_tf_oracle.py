@@ -743,3 +743,117 @@ class TestTrainingOracle:
             rel = np.abs(np.asarray(v) - ref).max() / (np.abs(ref).max() + 1e-12)
             # observed ≤3e-4 after 25 steps
             assert rel <= 2e-3, f"{layer}/{leaf}: rel param Δ={rel:.3e}"
+
+
+class TestClassifierTrainingOracle:
+    """VERDICT r3 item 7: two-phase classifier TRAINING dynamics vs the
+    reference — the reference's own ``freeze_backbone``/``unfreeze_from_layer``
+    + ``compile_model`` (Adam, BCE label_smoothing=0.1,
+    ``train_adipose_classifier_v0.py:356-378``) driven through
+    ``train_on_batch``, against the rebuild's masked-optimizer +
+    ``frozen_below`` train step, on identical seeded weights and batches.
+    Phase-1 and phase-2 loss trajectories must track. Preprocessing is
+    bypassed (shared raw 299² tensors): the input pipeline has its own
+    oracles; this pins the *training* surface."""
+
+    B, STEPS = 4, 6
+
+    @pytest.fixture
+    def ref_cls_module(self):
+        from tf_oracle_util import load_reference_classifier_module
+
+        return load_reference_classifier_module()
+
+    def _batches(self, n):
+        rs = np.random.RandomState(21)
+        pattern = rs.uniform(-1, 1, (299, 299, 3)).astype(np.float32)
+        out = []
+        for _ in range(n):
+            y = (np.arange(self.B) % 2).astype(np.float32)
+            x = rs.uniform(-1, 1, (self.B, 299, 299, 3)).astype(np.float32)
+            x = x + y[:, None, None, None] * 0.3 * pattern
+            out.append((x, y))
+        return out
+
+    def test_two_phase_loss_trajectories(self, ref_cls_module):
+        from tf_oracle_util import (
+            build_keras_classifier,
+            fill_flax_inception,
+            fill_keras_inception,
+            seeded_inception_weights,
+        )
+
+        from adipose_tpu.models import InceptionV3Classifier
+        from adipose_tpu.models.inception import (
+            NUM_CONVS,
+            backbone_param_mask,
+            unfreeze_conv_start,
+        )
+        from adipose_tpu.train.state import (
+            TrainState,
+            classifier_stats_mask,
+            make_classifier_train_step,
+            make_optimizer,
+        )
+
+        weights = seeded_inception_weights()
+        keras_model, base = build_keras_classifier(dropout_rate=0.0,
+                                                   return_base=True)
+        fill_keras_inception(keras_model, weights)
+
+        model = InceptionV3Classifier(dropout_rate=0.0, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 75, 75, 3)))
+        variables = fill_flax_inception(variables, weights)
+
+        batches = self._batches(2 * self.STEPS)
+
+        def run_keras_phase(lr, steps_slice):
+            ref_cls_module.compile_model(keras_model, lr=lr,
+                                         label_smoothing=0.1)
+            return [
+                float(keras_model.train_on_batch(x, y, return_dict=True)["loss"])
+                for x, y in steps_slice
+            ]
+
+        def make_flax_phase(params, batch_stats, lr, unfreeze):
+            pmask = backbone_param_mask(params, unfreeze)
+            smask = classifier_stats_mask(batch_stats, pmask)
+            fb = NUM_CONVS if unfreeze is None else unfreeze_conv_start(unfreeze)
+            tx = make_optimizer("adam", lr=lr, trainable_mask=pmask)
+            state = TrainState.create(params, tx, batch_stats=batch_stats)
+            step = make_classifier_train_step(model, 0.1, smask,
+                                              frozen_below=fb)
+            return state, step
+
+        # ---- phase 1: frozen backbone, head-only, lr 1e-3 (:479-488)
+        ref_cls_module.freeze_backbone(base)
+        tf_p1 = run_keras_phase(1e-3, batches[: self.STEPS])
+
+        state, step = make_flax_phase(
+            jax.tree.map(jnp.array, variables["params"]),
+            jax.tree.map(jnp.array, variables["batch_stats"]),
+            1e-3, None)
+        key = jax.random.PRNGKey(3)
+        jx_p1 = []
+        for x, y in batches[: self.STEPS]:
+            state, m = step(state, jnp.asarray(x), jnp.asarray(y), key)
+            jx_p1.append(float(m["loss"]))
+        d1 = np.abs(np.asarray(tf_p1) - np.asarray(jx_p1)).max()
+        assert d1 <= 5e-4, f"phase-1 loss divergence {d1:.2e}\n{tf_p1}\n{jx_p1}"
+
+        # ---- phase 2: unfreeze from mixed7, lr 1e-4 (:490-503), continuing
+        # from each side's own phase-1 weights/stats
+        ref_cls_module.unfreeze_from_layer(base, "mixed7")
+        tf_p2 = run_keras_phase(1e-4, batches[self.STEPS :])
+
+        state2, step2 = make_flax_phase(state.params, state.batch_stats,
+                                        1e-4, "mixed7")
+        jx_p2 = []
+        for x, y in batches[self.STEPS :]:
+            state2, m = step2(state2, jnp.asarray(x), jnp.asarray(y), key)
+            jx_p2.append(float(m["loss"]))
+        d2 = np.abs(np.asarray(tf_p2) - np.asarray(jx_p2)).max()
+        # looser: unfrozen-BN batch statistics and their moving updates
+        # compound across steps
+        assert d2 <= 5e-3, f"phase-2 loss divergence {d2:.2e}\n{tf_p2}\n{jx_p2}"
