@@ -328,6 +328,19 @@ class DilatedUNet(nn.Module):
     dilation_rates: tuple = (1, 2, 4, 8, 16, 32)
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
+    # Block-LOCAL rematerialization of exactly the level-1 (full-resolution)
+    # stages: the down1 encoder block and the up1 decoder stage + main head
+    # each become their own small nn.remat region, so the backward pass
+    # recomputes a handful of 1024²-scale activations from tiny inputs
+    # instead of stashing them. This attacks the measured HBM-edge live set
+    # (~17 GB temps at b8; ~95 ms/step of XLA compression-remat copies on
+    # exactly these buffers — BASELINE.md) at the cost of ~5 level-1 convs
+    # of replay. Distinct from `remat` (every stage) and from whole-apply
+    # jax.checkpoint policies (whose bulk replay failed to compile at b8 —
+    # scripts/exp_train_remat_policy.py): the regions here are local, so
+    # the replay live set is small. Param tree is unchanged (lifted
+    # function transform on the module's own scope).
+    remat_level1: bool = False
     # Zero-pad level-1 channels (init_nb → lane_pad) so the full-resolution
     # convs run MXU-lane-aligned — bit-exact, measured 72.6 → ~80 tiles/s on
     # v5e at 1024² (see PadConv docstring). 0 disables.
@@ -353,9 +366,11 @@ class DilatedUNet(nn.Module):
 
         # Encoder (explicit names reproduce flax's auto-naming so the padded
         # and unpadded paths share one param tree)
-        down1 = block(nb, ("down1_conv1", "down1_conv2"), dt,
-                      in_blocks=(), cout_pads=(P, P) if P else (),
-                      ckpt_tag=True, name="_ConvBlock_0")(x)
+        down1_block = (nn.remat(_ConvBlock)
+                       if (self.remat or self.remat_level1) else _ConvBlock)
+        down1 = down1_block(nb, ("down1_conv1", "down1_conv2"), dt,
+                            in_blocks=(), cout_pads=(P, P) if P else (),
+                            ckpt_tag=True, name="_ConvBlock_0")(x)
         p1 = nn.max_pool(down1, (2, 2), strides=(2, 2))
         down2 = block(nb * 2, ("down2_conv1", "down2_conv2"), dt,
                       in_blocks=((nb, P),) if P else (), cout_pads=(),
@@ -403,35 +418,53 @@ class DilatedUNet(nn.Module):
                        ("up3_conv1", "up3_conv2", "up3_conv3"))
         up2 = up_stage(self.init_nb * 2, down2, up3,
                        ("up2_conv1", "up2_conv2", "up2_conv3"))
-        if P:
-            # Level-1 decoder stage lane-padded: the skip/upsample concat is
-            # 64+64 = exactly one 128-lane register.
-            y = nn.relu(FusedUpsampleConv(nb, dt, cout_pad=P, name="up1_conv1")(up2))
-            y = checkpoint_name(y, "l1.up1_conv1")
-            y = jnp.concatenate([down1, y], axis=-1)
-            y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P), (nb, P)), cout_pad=P,
-                                name="up1_conv2")(y))
-            y = checkpoint_name(y, "l1.up1_conv2")
-            y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P),), cout_pad=P,
-                                name="up1_conv3")(y))
-            y = checkpoint_name(y, "l1.up1_conv3")
-            up1 = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
-            up1 = checkpoint_name(up1, "l1.up1")
-        else:
-            up1 = up_stage(self.init_nb, down1, up2,
-                           ("up1_conv1", "up1_conv2", "up1_conv3"), tag=True)
 
-        # Main head: softmax-2ch-slice computed as sigmoid(logit-difference)
-        # (exact reformulation; see DiffSigmoidHead — saves 15% of forward).
-        if self.fast_head:
-            main = DiffSigmoidHead(cin=nb, name="output_softmax")(up1)
-        elif P:
-            logits = PadConv(2, dt, in_blocks=((nb, P),), kernel_size=(1, 1),
-                             name="output_softmax")(up1)
-            main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        def level1_tail(mdl, down1_v, up2_v):
+            """up1 decoder stage + main head: the whole full-resolution tail
+            as one function of (down1, up2), so ``remat_level1`` can replay
+            it in backward — its inputs are the only 1024²-scale values that
+            then stay live. Params bind to ``mdl``'s own scope (names
+            unchanged)."""
+            del mdl  # params bind via the enclosing compact scope
+            if P:
+                # Level-1 decoder stage lane-padded: the skip/upsample concat
+                # is 64+64 = exactly one 128-lane register.
+                y = nn.relu(FusedUpsampleConv(nb, dt, cout_pad=P,
+                                              name="up1_conv1")(up2_v))
+                y = checkpoint_name(y, "l1.up1_conv1")
+                y = jnp.concatenate([down1_v, y], axis=-1)
+                y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P), (nb, P)),
+                                    cout_pad=P, name="up1_conv2")(y))
+                y = checkpoint_name(y, "l1.up1_conv2")
+                y = nn.relu(PadConv(nb, dt, in_blocks=((nb, P),), cout_pad=P,
+                                    name="up1_conv3")(y))
+                y = checkpoint_name(y, "l1.up1_conv3")
+                up1 = nn.Dropout(self.dropout_rate,
+                                 deterministic=not train)(y)
+                up1 = checkpoint_name(up1, "l1.up1")
+            else:
+                up1 = up_stage(self.init_nb, down1_v, up2_v,
+                               ("up1_conv1", "up1_conv2", "up1_conv3"),
+                               tag=True)
+
+            # Main head: softmax-2ch-slice computed as sigmoid(logit-diff)
+            # (exact reformulation; see DiffSigmoidHead — saves 15% of
+            # forward).
+            if self.fast_head:
+                return DiffSigmoidHead(cin=nb, name="output_softmax")(up1)
+            if P:
+                logits = PadConv(2, dt, in_blocks=((nb, P),),
+                                 kernel_size=(1, 1),
+                                 name="output_softmax")(up1)
+            else:
+                logits = nn.Conv(2, (1, 1), dtype=dt,
+                                 name="output_softmax")(up1)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+
+        if self.remat_level1:
+            main = nn.remat(level1_tail, prevent_cse=False)(self, down1, up2)
         else:
-            logits = nn.Conv(2, (1, 1), dtype=dt, name="output_softmax")(up1)
-            main = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+            main = level1_tail(self, down1, up2)
 
         if not self.use_deep_supervision:
             return main

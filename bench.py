@@ -25,13 +25,16 @@ import time
 import numpy as np
 
 REFERENCE_TILES_PER_SEC = 5.0  # documented estimate, see module docstring
-# MEASURED (r3): the reference's actual per-tile model.predict eval loop under
-# tf_keras 2.21 on THIS host's CPU (1 core, no CUDA): 41.15 s/tile = 0.024
-# tiles/s (batched b4 forward: 0.061 tiles/s). scripts/bench_reference_tf.py;
-# full numbers in scripts/reference_tf_bench.json and BASELINE.md. This is a
-# same-host floor, not the reference's GPU operating point — both ratios are
-# reported.
-REFERENCE_MEASURED_CPU_TILES_PER_SEC = 0.024
+# MEASURED (r4 re-run, idle host): the reference's actual per-tile
+# model.predict eval loop under tf_keras 2.21 on THIS host's CPU (1 core, no
+# CUDA): 12.66 s/tile = 0.079 tiles/s (batched b4 forward: 0.097;
+# train_on_batch b2 at the production compile: 73.4 s/step = 0.027 tiles/s).
+# The r3 figure (41.15 s/tile = 0.024) was measured under background load;
+# the r4 idle re-run is the honest floor and is the one used here.
+# scripts/bench_reference_tf.py; full numbers in
+# scripts/reference_tf_bench.json and BASELINE.md. This is a same-host floor,
+# not the reference's GPU operating point — both ratios are reported.
+REFERENCE_MEASURED_CPU_TILES_PER_SEC = 0.079
 
 TILE = 1024
 # batch sweep on v5e (pre-decoder-fusion build): b4 37.2, b8 59.1, b16 66.1;

@@ -149,6 +149,38 @@ def main():
     Pipe.pending = None
     run("split pipelined (prep k+1 ahead of train k)", split_pipelined)
 
+    # --- (E) megabatched prep: K train-batches per prep dispatch (r4) ---
+    def run_mega(K):
+        prep_mb = _make_preprocess_step(True, 1.0, 99.0, batch_size=batch)
+        mega = jnp.concatenate([host_batches[i % 3] for i in range(K)])
+        mega_keys = [
+            jnp.stack([keys[(i * K + k) % n_keys][0] for k in range(K)])
+            for i in range(iters + 3)
+        ]
+
+        def one(i, state, pending):
+            xs = prep_mb(mega, mega_keys[i])
+            if pending is not None:
+                for k, x in enumerate(pending):
+                    state, _m = train_step(state, x, labels, class_w,
+                                           keys[(i * K + k) % n_keys][1])
+            return state, xs
+
+        state = fresh_state()
+        state, pending = one(0, state, None)  # warmup/compile
+        state, pending = one(1, state, pending)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, pending = one(2 + i, state, pending)
+        _ = float(jnp.sum(state.params["adipose_score"]["bias"]))
+        dt = time.perf_counter() - t0
+        print(f"split pipelined megabatch K={K}: "
+              f"{K * batch * iters / dt:.1f} imgs/s "
+              f"({dt / iters * 1e3:.1f} ms per {K}-batch mega)")
+
+    run_mega(4)
+    run_mega(8)
+
     # --- core step alone for reference (299² inputs resident) ---
     x299 = prep_step(host_batches[0], key_for("bench.clf.x299"))
 

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Converged-Dice training parity + quality-knob ablation (VERDICT r3 items
+1c/4/8).
+
+Two modes, both on the same deterministic synthetic blob task (the oracle
+tests' generator — images correlated with circular masks):
+
+  parity  — train the REFERENCE trainer in-process (tf_keras,
+            ``train_adipose_unet_v3.py``: real ``AdiposeUNetV3`` graph at
+            256², compiled Adam lr + OHEM-0.7, ``train_on_batch`` loop —
+            the ``run_complete_pipeline.sh:340-451`` workflow's training
+            core) and the REBUILD (same seeded He init, same batches,
+            dropout 0 both sides), and compare per-epoch and FINAL val Dice.
+            North-star claim: converged val Dice within 0.5 %.
+
+  ablate  — rebuild-only ablation of the quality knobs the reference claims
+            but never measured (``train_adipose_unet_v3.py:381,505``): EMA
+            (decay 0.995, eval with EMA params), cosine schedule, deep
+            supervision — each vs the plain baseline, same data/seed.
+
+Writes scripts/train_parity_results.json and prints a summary. CPU-forced
+(runs the reference under TF); ~10–20 min in parity mode on the 1-CPU env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SIZE, NB, BATCH = 256, 4, 4
+LR = 2e-4          # production compiles 1e-4 (:1471); 2e-4 converges the
+                   # tiny synthetic task in a CPU-feasible step budget —
+                   # both frameworks use the same value, so parity holds
+N_TRAIN, N_VAL = 64, 16
+EPOCHS = 30
+
+
+def synth_dataset(n, seed):
+    """Blob masks; images = 0.3·noise + 2·mask − 1 (oracle tests' law)."""
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    xs, ys = [], []
+    for _ in range(n):
+        cx, cy = rs.randint(40, SIZE - 40), rs.randint(40, SIZE - 40)
+        r = rs.randint(20, 60)
+        m = ((xx - cx) ** 2 + (yy - cy) ** 2 < r * r).astype(np.float32)
+        x = rs.standard_normal((SIZE, SIZE)).astype(np.float32)
+        xs.append((x * 0.3 + m * 2.0 - 1.0).astype(np.float32))
+        ys.append(m)
+    return np.stack(xs), np.stack(ys)
+
+
+def epoch_batches(n, epoch, seed=865):
+    order = np.random.RandomState(seed + epoch).permutation(n)
+    for i in range(0, n - BATCH + 1, BATCH):
+        yield order[i : i + BATCH]
+
+
+def dice_of(pred, y, thr=0.5):
+    p = (pred > thr).astype(np.float32)
+    inter = (p * y).sum()
+    return float((2 * inter + 1e-7) / (p.sum() + y.sum() + 1e-7))
+
+
+def val_dice_curvepoint(predict, xv, yv):
+    preds = [np.asarray(predict(xv[i : i + BATCH])) for i in range(0, len(xv), BATCH)]
+    return dice_of(np.concatenate(preds), yv)
+
+
+# ---------------------------------------------------------------- reference
+def run_reference(xt, yt, xv, yv):
+    from tf_oracle_util import (
+        build_ref_unet_at_size,
+        fill_keras_unet,
+        load_reference_unet_module,
+        seeded_unet_weights,
+    )
+
+    mod = load_reference_unet_module()
+    import tempfile
+
+    trainer, net = build_ref_unet_at_size(
+        mod, tempfile.mkdtemp(), SIZE, NB, dropout_rate=0.0)
+    trainer.unfreeze_encoder()
+    fill_keras_unet(net, seeded_unet_weights(NB, ds=False))
+    trainer.compile_model(lr=LR, use_hard_mining=True, hard_example_ratio=0.7)
+
+    curve = []
+    t0 = time.time()
+    for epoch in range(EPOCHS):
+        for idx in epoch_batches(len(xt), epoch):
+            net.train_on_batch(xt[idx], yt[idx])
+        curve.append(val_dice_curvepoint(
+            lambda xb: net(xb, training=False), xv, yv))
+        print(f"[ref] epoch {epoch}: val_dice={curve[-1]:.4f}", flush=True)
+    return {"curve": curve, "final": curve[-1], "best": max(curve),
+            "train_s": time.time() - t0}
+
+
+# ------------------------------------------------------------------ rebuild
+def make_rebuild(ds=False):
+    from tf_oracle_util import fill_flax_unet, seeded_unet_weights
+
+    from adipose_tpu.models.unet import DilatedUNet
+
+    model = DilatedUNet(init_nb=NB, compute_dtype=jnp.float32,
+                        dropout_rate=0.0, use_deep_supervision=ds)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64)))
+    variables = fill_flax_unet(variables, seeded_unet_weights(NB, ds=ds))
+    return model, variables
+
+
+def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
+                label=""):
+    from functools import partial
+
+    from adipose_tpu.ops import losses as L
+    from adipose_tpu.train.ema import EmaTracker
+    from adipose_tpu.train.schedules import cosine_with_warmup
+    from adipose_tpu.train.state import (
+        TrainState,
+        make_optimizer,
+        make_unet_predict,
+        make_unet_train_step,
+        set_learning_rate,
+    )
+
+    model, variables = make_rebuild(ds)
+    main = partial(L.ohem_loss, keep_ratio=0.7)
+    if ds:
+        def loss_fn(yt_, out):
+            return L.deep_supervision_loss(
+                yt_, out, main, L.combined_loss_standard, 1.0, 0.4, 0.3)
+    else:
+        loss_fn = main
+    tx = make_optimizer("adam", lr=LR)
+    state = TrainState.create({"params": variables["params"]}, tx)
+    step = make_unet_train_step(model, loss_fn)
+    predict = make_unet_predict(model)
+    sched = cosine_with_warmup(max_lr=LR, min_lr=LR * 0.01,
+                               warmup_epochs=2, total_epochs=EPOCHS)
+    ema = EmaTracker(decay=0.995) if use_ema else None
+
+    curve, curve_ema = [], []
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    for epoch in range(EPOCHS):
+        if cosine:
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, sched(epoch)))
+        for idx in epoch_batches(len(xt), epoch):
+            state, _ = step(state, jnp.asarray(xt[idx]), jnp.asarray(yt[idx]),
+                            key)
+        if ema is not None:
+            # reference EMACallback updates per EPOCH (:431-443)
+            ema.update(state.params)
+        curve.append(val_dice_curvepoint(
+            lambda xb: predict(state.params, jnp.asarray(xb)), xv, yv))
+        if ema is not None:
+            curve_ema.append(val_dice_curvepoint(
+                lambda xb: predict(ema.ema_params, jnp.asarray(xb)), xv, yv))
+        print(f"[{label}] epoch {epoch}: val_dice={curve[-1]:.4f}"
+              + (f" ema={curve_ema[-1]:.4f}" if ema is not None else ""),
+              flush=True)
+    out = {"curve": curve, "final": curve[-1], "best": max(curve),
+           "train_s": time.time() - t0}
+    if ema is not None:
+        out["curve_ema"] = curve_ema
+        out["final_ema"] = curve_ema[-1]
+        out["best_ema"] = max(curve_ema)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["parity", "ablate", "both"])
+    args = ap.parse_args()
+
+    xt, yt = synth_dataset(N_TRAIN, seed=100)
+    xv, yv = synth_dataset(N_VAL, seed=200)
+    results = {"config": {"size": SIZE, "init_nb": NB, "batch": BATCH,
+                          "lr": LR, "epochs": EPOCHS,
+                          "n_train": N_TRAIN, "n_val": N_VAL}}
+
+    if args.mode in ("parity", "both"):
+        results["reference"] = run_reference(xt, yt, xv, yv)
+        results["rebuild"] = run_rebuild(xt, yt, xv, yv, label="rebuild")
+        gap = abs(results["reference"]["final"] - results["rebuild"]["final"])
+        results["final_dice_gap"] = gap
+        print(f"\nPARITY: ref final={results['reference']['final']:.4f} "
+              f"rebuild final={results['rebuild']['final']:.4f} "
+              f"gap={gap:.4f} ({gap * 100:.2f}% — north-star ≤0.5%)")
+
+    if args.mode in ("ablate", "both"):
+        results["ablate_baseline"] = run_rebuild(xt, yt, xv, yv,
+                                                 label="baseline")
+        results["ablate_ema"] = run_rebuild(xt, yt, xv, yv, use_ema=True,
+                                            label="ema")
+        results["ablate_cosine"] = run_rebuild(xt, yt, xv, yv, cosine=True,
+                                               label="cosine")
+        results["ablate_ds"] = run_rebuild(xt, yt, xv, yv, ds=True,
+                                           label="deep_supervision")
+        b = results["ablate_baseline"]["best"]
+        print("\nABLATION (best val Dice):")
+        print(f"  baseline          {b:.4f}")
+        print(f"  + EMA eval        {results['ablate_ema'].get('best_ema'):.4f}")
+        print(f"  + cosine          {results['ablate_cosine']['best']:.4f}")
+        print(f"  + deep supervision {results['ablate_ds']['best']:.4f}")
+
+    out = os.path.join(os.path.dirname(__file__), "train_parity_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()
