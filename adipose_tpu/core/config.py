@@ -54,6 +54,12 @@ class UNetConfig(_JsonMixin):
     # TPU-native knobs (no reference equivalent):
     compute_dtype: str = "bfloat16"  # MXU-friendly; params stay f32
     remat: bool = False  # jax.checkpoint over decoder stages
+    # Block-local remat of ONLY the full-resolution stages (down1 block and
+    # up1 tail + head): recompute ~5 level-1 convs in backward instead of
+    # stashing 1024²-scale activations. Exact (tree/forward/grads identical —
+    # tests/test_models.py). The OOM retry ladder tries this before full
+    # remat automatically.
+    remat_level1: bool = False
     # MXU-lane channel padding for level-1 convs (bit-exact; see
     # models/unet.py PadConv). Checkpoints are interchangeable across values.
     # Default OFF for TRAINING: the backward pass stashes every level-1

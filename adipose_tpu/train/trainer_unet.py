@@ -179,6 +179,7 @@ class UNetTrainer:
             if self.model_cfg.compute_dtype == "bfloat16"
             else jnp.float32,
             remat=self.model_cfg.remat,
+            remat_level1=self.model_cfg.remat_level1,
             lane_pad=self.model_cfg.lane_pad,
             fast_head=self.model_cfg.fast_head,
         )
@@ -319,9 +320,12 @@ class UNetTrainer:
                     #   1. same step again — a transient remote-compile/HTTP
                     #      failure (indistinguishable from OOM through the
                     #      tunnel) should not permanently flip remat on;
-                    #   2. rebuild with remat=True (same param tree,
-                    #      bit-identical forward — tested): makes b4 compile
-                    #      and run at 8.1 tiles/s (~30% recompute, measured).
+                    #   2. rebuild with remat_level1=True (same param tree,
+                    #      bit-identical forward/grads — tested): removes
+                    #      only the 1024²-scale stashes, ~5 level-1 convs of
+                    #      recompute instead of full-model replay;
+                    #   3. rebuild with remat=True (every stage): makes b4
+                    #      compile and run at 8.1 tiles/s (~30% recompute).
                     # The step donates its state; a COMPILE failure leaves
                     # the buffers intact, but if this failure came from
                     # execution the donated state is gone and retrying would
@@ -339,12 +343,23 @@ class UNetTrainer:
                         return train_step(state, imgs, masks, step_key,
                                           mean, std)
                     except Exception:
-                        print("[train] step failed again; rebuilding with "
-                              "remat=True")
-                        self.model = self.model.clone(remat=True)
-                        train_step, val_step = build_steps()
-                        return train_step(state, imgs, masks, step_key,
-                                          mean, std)
+                        pass
+                    if not self.model.remat_level1:
+                        try:
+                            print("[train] step failed again; rebuilding "
+                                  "with remat_level1=True")
+                            self.model = self.model.clone(remat_level1=True)
+                            train_step, val_step = build_steps()
+                            return train_step(state, imgs, masks, step_key,
+                                              mean, std)
+                        except Exception:
+                            pass
+                    print("[train] level-1 remat insufficient; rebuilding "
+                          "with remat=True")
+                    self.model = self.model.clone(remat=True)
+                    train_step, val_step = build_steps()
+                    return train_step(state, imgs, masks, step_key,
+                                      mean, std)
 
             # background decode of the next batches overlaps the device step
             # (the reference's tf.data prefetch, train_adipose_unet_v3.py:623).

@@ -43,6 +43,33 @@ class TestUNet:
         for v in out.values():
             assert v.shape == (1, SIZE, SIZE)
 
+    @pytest.mark.parametrize("lane_pad", [0, 64], ids=["lp0", "lp64"])
+    def test_remat_level1_exact(self, rng, lane_pad):
+        """remat_level1 (block-local recompute of the down1 block and the
+        up1 tail + head) must be a pure scheduling change: identical param
+        tree, forward, and gradients (f32 recompute is deterministic)."""
+        base = DilatedUNet(init_nb=8, compute_dtype=jnp.float32,
+                           dropout_rate=0.0, lane_pad=lane_pad)
+        rl = base.clone(remat_level1=True)
+        x = jnp.asarray(rng.randn(2, SIZE, SIZE).astype(np.float32))
+        v1 = base.init(jax.random.PRNGKey(0), x)
+        v2 = rl.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v1)
+                == jax.tree_util.tree_structure(v2))
+        np.testing.assert_array_equal(
+            np.asarray(base.apply(v1, x)), np.asarray(rl.apply(v1, x)))
+
+        def loss(params, model):
+            out = model.apply(params, x, train=True,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean((out - 0.3) ** 2)
+
+        g1 = jax.grad(loss)(v1, base)
+        g2 = jax.grad(loss)(v1, rl)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_fast_head_matches_softmax_head(self, rng):
         """sigmoid(logit-diff) head == softmax-slice head on the SAME params
         (exact reformulation; trainers run fast_head=False for its better
