@@ -341,6 +341,12 @@ class DilatedUNet(nn.Module):
     # the replay live set is small. Param tree is unchanged (lifted
     # function transform on the module's own scope).
     remat_level1: bool = False
+    # Whether the remat_level1 regions carry optimization barriers
+    # (jax.checkpoint prevent_cse). False lets XLA CSE the backward replay
+    # against the forward computation — which quietly reinstates the very
+    # stashes the remat exists to remove (measured: b8 identical to base,
+    # scripts/exp_remat_level1.py). True is the honest remat.
+    remat_level1_prevent_cse: bool = True
     # Zero-pad level-1 channels (init_nb → lane_pad) so the full-resolution
     # convs run MXU-lane-aligned — bit-exact, measured 72.6 → ~80 tiles/s on
     # v5e at 1024² (see PadConv docstring). 0 disables.
@@ -462,7 +468,9 @@ class DilatedUNet(nn.Module):
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
 
         if self.remat_level1:
-            main = nn.remat(level1_tail, prevent_cse=False)(self, down1, up2)
+            main = nn.remat(
+                level1_tail, prevent_cse=self.remat_level1_prevent_cse,
+            )(self, down1, up2)
         else:
             main = level1_tail(self, down1, up2)
 

@@ -36,7 +36,12 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# parity mode must run the reference under TF on the same host → CPU. ablate
+# mode is rebuild-only; ADIPOSE_ABLATE_TPU=1 lets it use the real chip
+# (serialize with other TPU scripts) — the 256² nb=4 task is tiny, so the
+# whole 4-config ablation is a few compiles + seconds of device time.
+if os.environ.get("ADIPOSE_ABLATE_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -225,6 +230,11 @@ def main():
         print(f"  + deep supervision {results['ablate_ds']['best']:.4f}")
 
     out = os.path.join(os.path.dirname(__file__), "train_parity_results.json")
+    if os.path.exists(out):  # merge: parity and ablate may run separately
+        with open(out) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"\nwrote {out}")
