@@ -49,12 +49,16 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-SIZE, NB, BATCH = 256, 4, 4
+# ADIPOSE_ABLATE_SIZE/EPOCHS shrink the ablation when wall-clock is tight
+# (e.g. 128/15 on the 1-CPU env with the TPU tunnel down); parity mode
+# always publishes at the defaults.
+SIZE = int(os.environ.get("ADIPOSE_ABLATE_SIZE", "256"))
+NB, BATCH = 4, 4
 LR = 2e-4          # production compiles 1e-4 (:1471); 2e-4 converges the
                    # tiny synthetic task in a CPU-feasible step budget —
                    # both frameworks use the same value, so parity holds
 N_TRAIN, N_VAL = 64, 16
-EPOCHS = 30
+EPOCHS = int(os.environ.get("ADIPOSE_ABLATE_EPOCHS", "30"))
 
 
 def synth_dataset(n, seed):
@@ -200,9 +204,11 @@ def main():
 
     xt, yt = synth_dataset(N_TRAIN, seed=100)
     xv, yv = synth_dataset(N_VAL, seed=200)
-    results = {"config": {"size": SIZE, "init_nb": NB, "batch": BATCH,
-                          "lr": LR, "epochs": EPOCHS,
-                          "n_train": N_TRAIN, "n_val": N_VAL}}
+    cfg = {"size": SIZE, "init_nb": NB, "batch": BATCH, "lr": LR,
+           "epochs": EPOCHS, "n_train": N_TRAIN, "n_val": N_VAL}
+    # ablate-only runs may use a reduced scale — don't clobber the parity
+    # run's config on merge
+    results = {"config" if args.mode != "ablate" else "ablate_config": cfg}
 
     if args.mode in ("parity", "both"):
         results["reference"] = run_reference(xt, yt, xv, yv)
