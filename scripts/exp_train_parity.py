@@ -137,7 +137,7 @@ def make_rebuild(ds=False):
 
 
 def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
-                label=""):
+                label="", ema_decay=0.995):
     from functools import partial
 
     from adipose_tpu.ops import losses as L
@@ -165,7 +165,7 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
     predict = make_unet_predict(model)
     sched = cosine_with_warmup(max_lr=LR, min_lr=LR * 0.01,
                                warmup_epochs=2, total_epochs=EPOCHS)
-    ema = EmaTracker(decay=0.995) if use_ema else None
+    ema = EmaTracker(decay=ema_decay) if use_ema else None
 
     curve, curve_ema = [], []
     t0 = time.time()
@@ -199,7 +199,8 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["parity", "ablate", "both"])
+    ap.add_argument("mode",
+                    choices=["parity", "ablate", "both", "ema-matched"])
     args = ap.parse_args()
 
     xt, yt = synth_dataset(N_TRAIN, seed=100)
@@ -218,6 +219,19 @@ def main():
         print(f"\nPARITY: ref final={results['reference']['final']:.4f} "
               f"rebuild final={results['rebuild']['final']:.4f} "
               f"gap={gap:.4f} ({gap * 100:.2f}% — north-star ≤0.5%)")
+
+    if args.mode == "ema-matched":
+        # isolate the EMA MECHANISM from the horizon: pick a per-epoch decay
+        # whose retention over EPOCHS matches the reference's 0.995 over its
+        # ~220-epoch production schedule (0.995^220 ≈ 0.33 → d = 0.33^(1/E))
+        d = float(0.995 ** 220) ** (1.0 / EPOCHS)
+        results["ablate_ema_matched"] = run_rebuild(
+            xt, yt, xv, yv, use_ema=True, ema_decay=d,
+            label=f"ema_matched(d={d:.3f})")
+        r = results["ablate_ema_matched"]
+        results["ablate_ema_matched"]["decay"] = d
+        print(f"\nEMA horizon-matched (decay {d:.3f}): "
+              f"final={r['final']:.4f} ema={r['final_ema']:.4f}")
 
     if args.mode in ("ablate", "both"):
         results["ablate_baseline"] = run_rebuild(xt, yt, xv, yv,
