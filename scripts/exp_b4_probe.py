@@ -22,6 +22,14 @@ import numpy as np
 
 
 def main():
+    import sys as _sys
+
+    from adipose_tpu.core import watchdog
+
+    if not watchdog.probe_device(90):
+        _sys.exit("TPU tunnel wedged (probe_device timeout); not starting")
+    watchdog.arm(1800, "b4 probe: device wedged mid-run")
+
     import jax
     import jax.numpy as jnp
     from flax import linen as nn
@@ -144,6 +152,7 @@ def main():
     dt = (time.perf_counter() - t0) / 4
     print(f"b4-as-duplicated-b8: {4 / dt:.2f} REAL tiles/s "
           f"({dt * 1e3:.0f} ms/step; fallback-remat b4 is 8.1)", flush=True)
+    watchdog.disarm()
 
 
 if __name__ == "__main__":
