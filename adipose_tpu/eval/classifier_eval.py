@@ -53,79 +53,127 @@ def ensemble_snapshots(prob_list) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-np.mean(logits, axis=0)))
 
 
-def fit_calibrator(probs: np.ndarray, labels: np.ndarray, method: str):
-    """(:339-370). Returns (method, model, info)."""
-    from sklearn.isotonic import IsotonicRegression
-    from sklearn.linear_model import LogisticRegression
-
-    if method == "temperature":
-        logits = np.log(probs / np.clip(1 - probs, 1e-7, 1))
-        clf = LogisticRegression()
-        clf.fit(logits.reshape(-1, 1), labels)
-        return ("temperature", clf, {"coef": clf.coef_.tolist(), "intercept": clf.intercept_.tolist()})
-    if method == "platt":
-        clf = LogisticRegression()
-        clf.fit(probs.reshape(-1, 1), labels)
-        return ("platt", clf, {"coef": clf.coef_.tolist(), "intercept": clf.intercept_.tolist()})
-    iso = IsotonicRegression(out_of_bounds="clip")
-    iso.fit(probs, labels)
-    t = iso.transform(probs)
-    return ("isotonic", iso, {"y_min": float(t.min()), "y_max": float(t.max())})
+def _to_logit(p: np.ndarray) -> np.ndarray:
+    """Stable prob→logit with the reference's 1e-7 odds clip (:334,344)."""
+    return np.log(p / np.clip(1.0 - p, 1e-7, 1.0))
 
 
-def apply_calibrator(probs: np.ndarray, calibrator):
-    """(:362-370)."""
-    if calibrator is None:
-        return probs
-    method, model, _ = calibrator
-    if method == "temperature":
-        logits = np.log(probs / np.clip(1 - probs, 1e-7, 1))
-        return model.predict_proba(logits.reshape(-1, 1))[:, 1]
-    if method == "platt":
-        return model.predict_proba(probs.reshape(-1, 1))[:, 1]
-    return model.transform(probs)
+class Calibrator:
+    """Fitted probability calibrator.
+
+    The reference exposes three methods (``eval_adipose_classifier.py:339-370``):
+    a sigmoid refit on logits ("temperature"), a sigmoid refit on raw
+    probabilities ("platt"), and isotonic regression. Fitting is
+    schema-constrained host glue — the calibration set is tiny and the fitted
+    family (1-D sigmoid / monotone step function) is fixed by the method name —
+    so sklearn does the solve; everything around it is ours.
+    """
+
+    #: method → feature map applied to probabilities before the 1-D fit.
+    _FEATURES = {"temperature": _to_logit, "platt": lambda p: p}
+
+    def __init__(self, method: str, probs: np.ndarray, labels: np.ndarray):
+        self.method = method
+        if method in self._FEATURES:
+            from sklearn.linear_model import LogisticRegression
+
+            self._model = LogisticRegression()
+            self._model.fit(self._FEATURES[method](probs)[:, None], labels)
+            self.info = {"coef": self._model.coef_.tolist(),
+                         "intercept": self._model.intercept_.tolist()}
+        elif method == "isotonic":
+            from sklearn.isotonic import IsotonicRegression
+
+            self._model = IsotonicRegression(out_of_bounds="clip")
+            self._model.fit(probs, labels)
+            fitted = self(probs)
+            self.info = {"y_min": float(fitted.min()), "y_max": float(fitted.max())}
+        else:
+            raise ValueError(f"unknown calibration method {method!r}")
+
+    def __call__(self, probs: np.ndarray) -> np.ndarray:
+        if self.method in self._FEATURES:
+            feat = self._FEATURES[self.method](probs)[:, None]
+            return self._model.predict_proba(feat)[:, 1]
+        return self._model.transform(probs)
+
+
+def fit_calibrator(probs: np.ndarray, labels: np.ndarray, method: str) -> Calibrator:
+    """Fit a :class:`Calibrator` (behavior of :339-370)."""
+    return Calibrator(method, probs, labels)
+
+
+def apply_calibrator(probs: np.ndarray, calibrator: Calibrator | None):
+    """Identity when ``calibrator`` is None (:360-362)."""
+    return probs if calibrator is None else calibrator(probs)
+
+
+def _confusion_sweep(labels: np.ndarray, probs: np.ndarray,
+                     thresholds: np.ndarray) -> dict:
+    """Confusion counts + P/R/F1 for ALL thresholds in one vectorized pass.
+
+    Returns arrays keyed tn/fp/fn/tp/precision/recall/f1, each shaped like
+    ``thresholds``. sklearn ``zero_division=0`` semantics: an empty
+    denominator yields 0.
+    """
+    pos = labels.astype(bool)
+    pred = probs[None, :] >= np.asarray(thresholds).reshape(-1, 1)  # (T, N)
+    tp = (pred & pos).sum(axis=1).astype(float)
+    fp = (pred & ~pos).sum(axis=1).astype(float)
+    fn = (~pred & pos).sum(axis=1).astype(float)
+    tn = (~pred & ~pos).sum(axis=1).astype(float)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        precision = np.where(tp + fp > 0, tp / (tp + fp), 0.0)
+        recall = np.where(tp + fn > 0, tp / (tp + fn), 0.0)
+        f1 = np.where(2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn), 0.0)
+    return {"tn": tn, "fp": fp, "fn": fn, "tp": tp,
+            "precision": precision, "recall": recall, "f1": f1}
 
 
 def evaluate_predictions(labels: np.ndarray, probs: np.ndarray) -> dict:
-    """AUCs + threshold sweep + confusion summaries (:373-416)."""
+    """AUCs + 0.05..0.95 threshold sweep + confusion summaries.
+
+    Output schema matches the reference's metrics.json contract
+    (``eval_adipose_classifier.py:373-416``): ``roc_auc``/``pr_auc``,
+    ``threshold_metrics.{default_0.5,best_f1,per_threshold}``,
+    ``best_threshold``; first-maximum F1 tie-break; specificity uses the
+    reference's ``+1e-7`` denominator guard. The sweep itself is one
+    vectorized (T×N) pass rather than per-threshold metric calls.
+    """
     from sklearn import metrics as skm
 
-    out = {
-        "roc_auc": float(skm.roc_auc_score(labels, probs)),
-        "pr_auc": float(skm.average_precision_score(labels, probs)),
-    }
-    thresholds = np.linspace(0.05, 0.95, 19)
-    best_f1, best_thresh = -1.0, 0.5
-    per = []
-    for t in thresholds:
-        preds = (probs >= t).astype(int)
-        p = skm.precision_score(labels, preds, zero_division=0)
-        r = skm.recall_score(labels, preds, zero_division=0)
-        f1 = skm.f1_score(labels, preds, zero_division=0)
-        per.append({"threshold": float(t), "precision": p, "recall": r, "f1": f1})
-        if f1 > best_f1:
-            best_f1, best_thresh = f1, t
+    grid = np.linspace(0.05, 0.95, 19)
+    sweep = _confusion_sweep(labels, probs, grid)
+    best_idx = int(np.argmax(sweep["f1"]))  # first maximum, like the reference
 
-    def summarize(thresh):
-        preds = (probs >= thresh).astype(int)
-        cm = skm.confusion_matrix(labels, preds, labels=[0, 1])
-        tn, fp, fn, tp = cm.ravel()
+    def at(thresh: float) -> dict:
+        s = _confusion_sweep(labels, probs, np.array([thresh]))
+        tn, fp = s["tn"][0], s["fp"][0]
         return {
             "threshold": float(thresh),
-            "confusion_matrix": {"tn": int(tn), "fp": int(fp), "fn": int(fn), "tp": int(tp)},
-            "precision": float(skm.precision_score(labels, preds, zero_division=0)),
-            "recall": float(skm.recall_score(labels, preds, zero_division=0)),
-            "f1": float(skm.f1_score(labels, preds, zero_division=0)),
+            "confusion_matrix": {k: int(s[k][0]) for k in ("tn", "fp", "fn", "tp")},
+            "precision": float(s["precision"][0]),
+            "recall": float(s["recall"][0]),
+            "f1": float(s["f1"][0]),
             "specificity": float(tn / (tn + fp + 1e-7)),
         }
 
-    out["threshold_metrics"] = {
-        "default_0.5": summarize(0.5),
-        "best_f1": summarize(best_thresh),
-        "per_threshold": per,
+    return {
+        "roc_auc": float(skm.roc_auc_score(labels, probs)),
+        "pr_auc": float(skm.average_precision_score(labels, probs)),
+        "threshold_metrics": {
+            "default_0.5": at(0.5),
+            "best_f1": at(float(grid[best_idx])),
+            "per_threshold": [
+                {"threshold": float(t),
+                 "precision": float(sweep["precision"][i]),
+                 "recall": float(sweep["recall"][i]),
+                 "f1": float(sweep["f1"][i])}
+                for i, t in enumerate(grid)
+            ],
+        },
+        "best_threshold": float(grid[best_idx]),
     }
-    out["best_threshold"] = float(best_thresh)
-    return out
 
 
 def compute_class_statistics(labels: np.ndarray, probs: np.ndarray) -> dict:

@@ -28,26 +28,24 @@ from adipose_tpu.ops.normalize import percentile_stretch_255, zscore_to_target
 
 
 def generate_axis_segments(length: int, primary: int = 6144, multiple: int = 1024):
-    """(start, size) spans covering one axis (``..._MS.py:486-511``)."""
-    segments = []
+    """(offset, extent) spans tiling one axis — the MS coordinate contract
+    (``..._MS.py:486-511``; tile filenames encode these spans, so the output
+    must match exactly): greedy ``primary``-sized spans from 0, then one
+    right-aligned trailing span whose extent is the remainder rounded up to
+    ``multiple`` (capped at ``primary`` and at the axis length, so it may
+    overlap the last full span). The reference also carries a shift-left
+    branch for a tail span starting at/before the previous offset; it is
+    unreachable — the tail extent never exceeds ``primary`` while the gap to
+    the previous offset always does — and is omitted here.
+    """
     if length <= 0:
-        return segments
-    pos = 0
-    while pos + primary <= length:
-        segments.append((pos, primary))
-        pos += primary
-    remainder = length - pos
-    if remainder > 0:
-        n = max(1, int(np.ceil(remainder / float(multiple))))
-        fallback = min(primary, n * multiple)
-        fallback = min(fallback, length)
-        start = max(0, length - fallback)
-        if segments and start <= segments[-1][0]:
-            start = max(0, segments[-1][0] + primary - fallback)
-        if start + fallback > length:
-            start = max(0, length - fallback)
-        segments.append((start, fallback))
-    return sorted(set(segments), key=lambda s: s[0])
+        return []
+    spans = [(off, primary) for off in range(0, length - primary + 1, primary)]
+    covered = len(spans) * primary
+    if covered < length:
+        extent = min(length, primary, -(-(length - covered) // multiple) * multiple)
+        spans.append((length - extent, extent))
+    return sorted(set(spans))
 
 
 def convert_16_to_8bit(img: np.ndarray) -> np.ndarray:

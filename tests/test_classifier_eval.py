@@ -58,6 +58,27 @@ class TestClassifierEval:
         assert out.shape == probs.shape
         assert (out >= 0).all() and (out <= 1).all()
 
+    def test_sweep_matches_sklearn_per_threshold(self, labeled_probs):
+        """The vectorized (T×N) confusion sweep must reproduce sklearn's
+        per-threshold P/R/F1 with zero_division=0 (the reference's loop,
+        eval_adipose_classifier.py:378-390) exactly."""
+        from sklearn import metrics as skm
+
+        labels, probs = labeled_probs
+        m = evaluate_predictions(labels, probs)
+        for row in m["threshold_metrics"]["per_threshold"]:
+            preds = (probs >= row["threshold"]).astype(int)
+            assert row["precision"] == pytest.approx(
+                skm.precision_score(labels, preds, zero_division=0), abs=1e-12)
+            assert row["recall"] == pytest.approx(
+                skm.recall_score(labels, preds, zero_division=0), abs=1e-12)
+            assert row["f1"] == pytest.approx(
+                skm.f1_score(labels, preds, zero_division=0), abs=1e-12)
+        # all-negative predictions exercise the zero_division branches
+        z = evaluate_predictions(np.array([0.0, 1.0] * 4), np.full(8, 0.01))
+        rows = z["threshold_metrics"]["per_threshold"]
+        assert all(r["precision"] == 0.0 and r["f1"] == 0.0 for r in rows)
+
     def test_class_statistics(self, labeled_probs):
         labels, probs = labeled_probs
         s = compute_class_statistics(labels, probs)
