@@ -317,6 +317,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-suffix", default="",
                    help="appended to the run directory name (:1524)")
     t.add_argument("--checkpoint-root", default="checkpoints/segmentation")
+    t.add_argument("--cache-limit-mb", type=int, default=4096,
+                   help="RAM tile-cache budget per dataset (0 disables; the "
+                        "reference caps at 100 f32 pairs ~840 MB)")
     t.add_argument("--num-devices", type=int, default=0)
     t.add_argument("--shard-spatial", action="store_true",
                    help="shard image rows over leftover devices when the "
@@ -1021,6 +1024,7 @@ def cmd_train_unet(args):
         percentile_high=args.percentile_high,
         num_devices=args.num_devices,
         shard_spatial=args.shard_spatial,
+        cache_limit_mb=args.cache_limit_mb,
     )
     mcfg = UNetConfig(use_deep_supervision=args.use_deep_supervision)
     from adipose_tpu.core.profiling import trace

@@ -120,6 +120,10 @@ class TrainConfig(_JsonMixin):
     normalization_method: str = "zscore"  # zscore | percentile
     percentile_low: float = 1.0
     percentile_high: float = 99.0
+    # RAM tile-cache budget per dataset, megabytes (reference caps at 100
+    # f32 pairs ≈ 840 MB, :513,560; we store u8 so the same budget holds 8×
+    # the tiles). 0 disables caching.
+    cache_limit_mb: int = 4096
     # Early stopping
     early_stopping_patience: int = 15
     # Mesh

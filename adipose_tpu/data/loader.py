@@ -75,6 +75,39 @@ def prefetch_batches(iterable, depth: int = 2):
                 break
 
 
+class _BoundedCache:
+    """Byte-budgeted insert-if-room tile cache.
+
+    Same admission policy as the reference's ``TileDataset`` cache
+    (``train_adipose_unet_v3.py:560-561``: insert while below the cap, no
+    eviction — first-seen tiles win), but budgeted in BYTES rather than pair
+    count because our tiles are u8 (8× smaller than the reference's f32
+    pairs) and sizes vary between the two dataset types. A miss beyond the
+    budget simply stays uncached.
+    """
+
+    def __init__(self, limit_bytes: int):
+        self.limit_bytes = int(limit_bytes)
+        self._store: dict = {}
+        self._used = 0
+
+    def __contains__(self, key) -> bool:
+        return key in self._store
+
+    def get(self, key):
+        return self._store.get(key)
+
+    def put(self, key, value) -> None:
+        arrays = value if isinstance(value, tuple) else (value,)
+        nbytes = sum(a.nbytes for a in arrays)
+        if self._used + nbytes <= self.limit_bytes:
+            self._store[key] = value
+            self._used += nbytes
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+
 def _imread_gray(path: Path) -> np.ndarray:
     img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
     if img is None:
@@ -101,6 +134,7 @@ class TileDataset:
         batch_size: int,
         cache: bool = True,
         seed: int | None = None,
+        cache_limit_mb: int = 4096,
     ):
         self.images_dir = Path(images_dir)
         self.masks_dir = Path(masks_dir)
@@ -116,7 +150,8 @@ class TileDataset:
         self.pairs = [
             (p, mask_files[p.stem]) for p in image_files if p.stem in mask_files
         ]
-        self._cache: dict = {} if cache else None
+        self._cache = (_BoundedCache(cache_limit_mb << 20)
+                       if cache and cache_limit_mb > 0 else None)
         self._pool: ThreadPoolExecutor | None = None
 
     def _decode_pool(self) -> ThreadPoolExecutor:
@@ -137,11 +172,11 @@ class TileDataset:
         img_path, mask_path = self.pairs[idx]
         key = img_path.stem
         if self._cache is not None and key in self._cache:
-            return self._cache[key]
+            return self._cache.get(key)
         img = _imread_gray(img_path)
         mask = _imread_mask(mask_path)
         if self._cache is not None:
-            self._cache[key] = (img, mask)
+            self._cache.put(key, (img, mask))
         return img, mask
 
     def epoch_batches(self, epoch: int, shuffle: bool = True) -> Iterator[tuple]:
@@ -167,7 +202,8 @@ class ClassificationDataset:
     """Keras-style class-folder dataset: ``<split>/{adipose,not_adipose}/*.jpg``
     (``Classification/train_adipose_classifier_v0.py:135-150``)."""
 
-    def __init__(self, split_dir: str | Path, batch_size: int, seed: int | None = None):
+    def __init__(self, split_dir: str | Path, batch_size: int,
+                 seed: int | None = None, cache_limit_mb: int = 4096):
         self.split_dir = Path(split_dir)
         self.batch_size = batch_size
         self.seed = get_project_seed() if seed is None else seed
@@ -175,7 +211,7 @@ class ClassificationDataset:
         neg = sorted((self.split_dir / "not_adipose").glob("*.jpg"))
         self.files = pos + neg
         self.labels = np.array([1] * len(pos) + [0] * len(neg), np.float32)
-        self._cache: dict = {}
+        self._cache = _BoundedCache(max(0, cache_limit_mb) << 20)
         self._pool: ThreadPoolExecutor | None = None
 
     def _decode_pool(self) -> ThreadPoolExecutor:
@@ -199,9 +235,9 @@ class ClassificationDataset:
     def load(self, idx: int) -> np.ndarray:
         path = self.files[idx]
         if idx in self._cache:
-            return self._cache[idx]
+            return self._cache.get(idx)
         img = _imread_gray(path)
-        self._cache[idx] = img
+        self._cache.put(idx, img)
         return img
 
     def epoch_batches(self, epoch: int, shuffle: bool = True) -> Iterator[tuple]:

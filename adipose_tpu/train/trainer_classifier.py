@@ -269,8 +269,12 @@ class ClassifierTrainer:
         self.prep_megabatch = max(1, int(prep_megabatch))
         self.mesh = make_mesh_for_batch(self.cfg.batch_size, self.cfg.num_devices)
         root = Path(dataset_root)
-        self.train_data = ClassificationDataset(root / train_split, self.cfg.batch_size, self.cfg.seed)
-        self.val_data = ClassificationDataset(root / val_split, self.cfg.batch_size, self.cfg.seed)
+        self.train_data = ClassificationDataset(
+            root / train_split, self.cfg.batch_size, self.cfg.seed,
+            cache_limit_mb=self.cfg.cache_limit_mb)
+        self.val_data = ClassificationDataset(
+            root / val_split, self.cfg.batch_size, self.cfg.seed,
+            cache_limit_mb=self.cfg.cache_limit_mb)
         if not len(self.train_data):
             raise FileNotFoundError(f"no classifier tiles under {root}")
 

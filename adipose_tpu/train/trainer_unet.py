@@ -190,10 +190,12 @@ class UNetTrainer:
         self.train_data = TileDataset(
             ds / "train" / "images", ds / "train" / "masks",
             self.cfg.batch_size, seed=self.cfg.seed,
+            cache_limit_mb=self.cfg.cache_limit_mb,
         )
         self.val_data = TileDataset(
             ds / "val" / "images", ds / "val" / "masks",
             self.cfg.batch_size, seed=self.cfg.seed,
+            cache_limit_mb=self.cfg.cache_limit_mb,
         )
         if not len(self.train_data):
             raise FileNotFoundError(f"no training tiles under {ds}")

@@ -677,6 +677,35 @@ class TestPrefetch:
         for (ia, ma), (ib, mb) in zip(a, b):
             assert np.array_equal(ia, ib) and np.array_equal(ma, mb)
 
+    def test_tile_cache_byte_bounded(self, tmp_path, rng):
+        """Cache admission stops at the byte budget (reference caps at
+        cache_size pairs, train_adipose_unet_v3.py:560-561 — same
+        insert-if-room policy, budgeted in bytes); results stay correct
+        for uncached tiles."""
+        import cv2
+
+        img_dir = tmp_path / "images"; img_dir.mkdir()
+        mask_dir = tmp_path / "masks"; mask_dir.mkdir()
+        for i in range(8):
+            cv2.imwrite(str(img_dir / f"t{i}.png"),
+                        (rng.rand(32, 32) * 255).astype(np.uint8))
+            cv2.imwrite(str(mask_dir / f"t{i}.tif"),
+                        (rng.rand(32, 32) > 0.5).astype(np.uint8) * 255)
+        # one pair = 32*32 img + 32*32 mask = 2048 B; budget 3 pairs
+        from adipose_tpu.data.loader import _BoundedCache
+
+        ds = TileDataset(img_dir, mask_dir, batch_size=4, seed=7)
+        ds._cache = _BoundedCache(3 * 2048)
+        full = [b for b in ds.epoch_batches(0)]
+        assert len(ds._cache) == 3  # admission stopped at the budget
+        again = [b for b in ds.epoch_batches(0)]  # mixed cached/uncached
+        for (ia, ma), (ib, mb) in zip(full, again):
+            assert np.array_equal(ia, ib) and np.array_equal(ma, mb)
+        # cache_limit_mb=0 disables caching entirely
+        ds0 = TileDataset(img_dir, mask_dir, batch_size=4, seed=7,
+                          cache_limit_mb=0)
+        assert ds0._cache is None
+
 
 class TestShardedAugment:
     """The mesh-aware batch paths (shard_map per 'data' shard — the
