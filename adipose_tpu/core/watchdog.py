@@ -46,8 +46,11 @@ def arm(seconds: float, message: str = "accelerator unresponsive",
     """
     def bail():
         try:
-            if on_bail is not None:
-                on_bail()
+            try:
+                if on_bail is not None:
+                    on_bail()
+            except Exception:  # noqa: BLE001 — on_bail must not mute the diagnostic
+                pass
             print(f"[watchdog] {message} within {seconds:.0f}s — exiting",
                   file=sys.stderr, flush=True)
         finally:

@@ -9,10 +9,12 @@ the isolated suspect convs, all at b4 1024².
 
 Each probe is its own tiny program; a probe that compiles prints its step
 time, one that crashes prints the failure — the smallest crashing probe is
-the repro. Also measures the one remaining workaround candidate: pad b4 to
-b8 with zero-weight tiles + masked loss (grad mathematically equals the b4
-grad scaled by the mask; measures effective real-tiles/s against the 8.1
-full-remat fallback).
+the repro. Also measures the one remaining workaround candidate: duplicate
+the 4 real tiles to fill a b8 step. This is an approximation, not the exact
+b4 gradient: the fused step draws per-sample augmentations, so the two
+copies get different draws and the grad averages two augmentation draws per
+tile (arguably lower-variance). Measures effective real-tiles/s against the
+8.1 full-remat fallback.
 
 Usage: python scripts/exp_b4_probe.py   (TPU, serialized)
 """
@@ -26,9 +28,9 @@ def main():
 
     from adipose_tpu.core import watchdog
 
-    if not watchdog.probe_device(90):
+    if not watchdog.probe_device(180):  # cold tunnel init alone can take ~2 min
         _sys.exit("TPU tunnel wedged (probe_device timeout); not starting")
-    watchdog.arm(1800, "b4 probe: device wedged mid-run")
+    watchdog.arm(900, "b4 probe: device wedged during import/init")
 
     import jax
     import jax.numpy as jnp
@@ -44,6 +46,9 @@ def main():
 
     def probe(name, make_fn, *shapes):
         """Compile grad of sum(fn(params, *xs)) over the given input shapes."""
+        # re-arm per probe: each remote compile is 1-5 min on its own, and a
+        # single whole-run budget would let a healthy-but-slow run be killed
+        watchdog.arm(900, f"b4 probe[{name}]: device wedged")
         try:
             model, apply = make_fn()
             xs = [jnp.asarray(rng.rand(*s).astype(np.float32)) for s in shapes]
@@ -133,10 +138,12 @@ def main():
     params = model.init(key_for("bench.init"), jnp.zeros((1, S, S)))
     tx = make_optimizer(cfg.optimizer, cfg.lr_phase1, cfg.weight_decay)
     state = TrainState.create(params=params, tx=tx)
+    watchdog.arm(900, "b4 probe[duplicated-b8]: device wedged")
     imgs4 = (rng.rand(4, S, S) * 255).astype(np.uint8)
     masks4 = (rng.rand(4, S, S) > 0.5).astype(np.uint8)
-    # duplicate the 4 real tiles to fill b8; grads double but Adam's
-    # direction is scale-invariant, so training semantics match b4
+    # duplicate the 4 real tiles to fill b8 — an approximation: per-sample
+    # augmentation keys differ between the copies, so the grad is a 2-draw
+    # average per tile rather than the exact b4 grad (see module docstring)
     imgs8 = jnp.asarray(np.concatenate([imgs4, imgs4]))
     masks8 = jnp.asarray(np.concatenate([masks4, masks4]))
     mean, std = jnp.float32(200.99), jnp.float32(25.26)

@@ -18,6 +18,19 @@ tests' generator — images correlated with circular masks):
             (decay 0.995, eval with EMA params), cosine schedule, deep
             supervision — each vs the plain baseline, same data/seed.
 
+  batch-sweep — rebuild-only large-batch quality validation (VERDICT r4 #1):
+            b2 at the reference schedule (control) vs b8 with linearly- and
+            sqrt-scaled LR, equal sample budget, converged val Dice compared.
+            Decides whether the b8 train-throughput headline is a legitimate
+            operating point (``train_adipose_unet_v3.py:1471-1487``).
+
+  ablate-horizon — the quality-knob ablation at the reference's PRODUCTION
+            schedule length (VERDICT r4 #4; default 150 epochs via
+            ADIPOSE_ABLATE_EPOCHS): EMA-0.995 and cosine measured at the
+            horizon their claims assume (``train_adipose_unet_v3.py:381,505``).
+            Writes separate ``ablate_horizon_*`` keys so the short-horizon
+            ablation rows are preserved.
+
 Writes scripts/train_parity_results.json and prints a summary. CPU-forced
 (runs the reference under TF); ~10–20 min in parity mode on the 1-CPU env.
 """
@@ -36,11 +49,22 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
-# parity mode must run the reference under TF on the same host → CPU. ablate
-# mode is rebuild-only; ADIPOSE_ABLATE_TPU=1 lets it use the real chip
-# (serialize with other TPU scripts) — the 256² nb=4 task is tiny, so the
-# whole 4-config ablation is a few compiles + seconds of device time.
-if os.environ.get("ADIPOSE_ABLATE_TPU", "0") != "1":
+# parity mode must run the reference under TF on the same host → CPU. The
+# rebuild-only modes (ablate / ema-matched / batch-sweep) may use the real
+# chip via ADIPOSE_ABLATE_TPU=1 (serialize with other TPU scripts) — the
+# 256² nb=4 task is tiny, so each config is a few compiles + seconds of
+# device time. Modes that run the TF reference refuse the TPU override
+# outright: a TPU-backed jax next to the TF oracle breaks the script's
+# CPU-parity requirement AND the one-TPU serialization rule.
+_REBUILD_ONLY_MODES = ("ablate", "ema-matched", "batch-sweep",
+                       "ablate-horizon")
+_mode_arg = next((a for a in sys.argv[1:] if not a.startswith("-")), "")
+if os.environ.get("ADIPOSE_ABLATE_TPU", "0") == "1":
+    if _mode_arg not in _REBUILD_ONLY_MODES:
+        sys.exit("ADIPOSE_ABLATE_TPU=1 is only valid for rebuild-only modes "
+                 f"{_REBUILD_ONLY_MODES}; mode {_mode_arg!r} runs the TF "
+                 "reference and must stay on CPU")
+else:
     jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
@@ -76,10 +100,11 @@ def synth_dataset(n, seed):
     return np.stack(xs), np.stack(ys)
 
 
-def epoch_batches(n, epoch, seed=865):
+def epoch_batches(n, epoch, seed=865, batch=None):
+    batch = BATCH if batch is None else batch
     order = np.random.RandomState(seed + epoch).permutation(n)
-    for i in range(0, n - BATCH + 1, BATCH):
-        yield order[i : i + BATCH]
+    for i in range(0, n - batch + 1, batch):
+        yield order[i : i + batch]
 
 
 def dice_of(pred, y, thr=0.5):
@@ -137,7 +162,7 @@ def make_rebuild(ds=False):
 
 
 def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
-                label="", ema_decay=0.995):
+                label="", ema_decay=0.995, batch=None, lr=None):
     from functools import partial
 
     from adipose_tpu.ops import losses as L
@@ -151,6 +176,8 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
         set_learning_rate,
     )
 
+    batch = BATCH if batch is None else batch
+    lr_eff = LR if lr is None else lr
     model, variables = make_rebuild(ds)
     main = partial(L.ohem_loss, keep_ratio=0.7)
     if ds:
@@ -159,11 +186,11 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
                 yt_, out, main, L.combined_loss_standard, 1.0, 0.4, 0.3)
     else:
         loss_fn = main
-    tx = make_optimizer("adam", lr=LR)
+    tx = make_optimizer("adam", lr=lr_eff)
     state = TrainState.create({"params": variables["params"]}, tx)
     step = make_unet_train_step(model, loss_fn)
     predict = make_unet_predict(model)
-    sched = cosine_with_warmup(max_lr=LR, min_lr=LR * 0.01,
+    sched = cosine_with_warmup(max_lr=lr_eff, min_lr=lr_eff * 0.01,
                                warmup_epochs=2, total_epochs=EPOCHS)
     ema = EmaTracker(decay=ema_decay) if use_ema else None
 
@@ -174,7 +201,7 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
         if cosine:
             state = state.replace(
                 opt_state=set_learning_rate(state.opt_state, sched(epoch)))
-        for idx in epoch_batches(len(xt), epoch):
+        for idx in epoch_batches(len(xt), epoch, batch=batch):
             state, _ = step(state, jnp.asarray(xt[idx]), jnp.asarray(yt[idx]),
                             key)
         if ema is not None:
@@ -200,16 +227,23 @@ def run_rebuild(xt, yt, xv, yv, ds=False, use_ema=False, cosine=False,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode",
-                    choices=["parity", "ablate", "both", "ema-matched"])
+                    choices=["parity", "ablate", "both", "ema-matched",
+                             "batch-sweep", "ablate-horizon"])
     args = ap.parse_args()
 
     xt, yt = synth_dataset(N_TRAIN, seed=100)
     xv, yv = synth_dataset(N_VAL, seed=200)
     cfg = {"size": SIZE, "init_nb": NB, "batch": BATCH, "lr": LR,
            "epochs": EPOCHS, "n_train": N_TRAIN, "n_val": N_VAL}
-    # ablate-only runs may use a reduced scale — don't clobber the parity
-    # run's config on merge
-    results = {"config" if args.mode != "ablate" else "ablate_config": cfg}
+    # modes honoring ADIPOSE_ABLATE_SIZE/EPOCHS may run at a reduced scale —
+    # only parity-bearing modes may write the parity 'config' key on merge
+    # (ADVICE r4: an ema-matched run once clobbered it)
+    if args.mode in ("parity", "both"):
+        results = {"config": cfg}
+    elif args.mode in ("batch-sweep", "ablate-horizon"):
+        results = {}  # these embed their config in their own section
+    else:
+        results = {"ablate_config": cfg}
 
     if args.mode in ("parity", "both"):
         results["reference"] = run_reference(xt, yt, xv, yv)
@@ -232,6 +266,47 @@ def main():
         results["ablate_ema_matched"]["decay"] = d
         print(f"\nEMA horizon-matched (decay {d:.3f}): "
               f"final={r['final']:.4f} ema={r['final_ema']:.4f}")
+
+    if args.mode == "batch-sweep":
+        # VERDICT r4 #1: does the rebuild's efficient batch (8) reach the
+        # reference schedule's converged quality? Equal SAMPLE budget (same
+        # epochs over the same data), LR scaled linearly and by sqrt for the
+        # 4× batch growth; b2 at the base LR is the reference-schedule
+        # control (b2-vs-b2 framework parity is already pinned at 0.04% by
+        # parity mode, so rebuild-b2 stands in for the TF reference here).
+        sweep = {"config": cfg}
+        for label, b, lr in (("b2_control", 2, LR),
+                             ("b8_linear", 8, LR * 4.0),
+                             ("b8_sqrt", 8, LR * 2.0)):
+            r = run_rebuild(xt, yt, xv, yv, label=label, batch=b, lr=lr)
+            r["batch"], r["lr"] = b, lr
+            sweep[label] = r
+        ctrl = sweep["b2_control"]
+        print("\nBATCH SWEEP (converged val Dice, equal sample budget):")
+        for label in ("b2_control", "b8_linear", "b8_sqrt"):
+            r = sweep[label]
+            gap = r["final"] - ctrl["final"]
+            print(f"  {label:12s} b={r['batch']} lr={r['lr']:.1e} "
+                  f"final={r['final']:.4f} best={r['best']:.4f} "
+                  f"gap_vs_b2={gap * 100:+.2f}%")
+        results["batch_sweep"] = sweep
+
+    if args.mode == "ablate-horizon":
+        # same knob matrix as 'ablate' but at the production schedule length
+        # (set EPOCHS via ADIPOSE_ABLATE_EPOCHS, default 30 → pass 150);
+        # separate keys so the short-horizon rows survive the merge.
+        horizon = {"config": cfg}
+        horizon["baseline"] = run_rebuild(xt, yt, xv, yv, label="hz_baseline")
+        horizon["ema"] = run_rebuild(xt, yt, xv, yv, use_ema=True,
+                                     label="hz_ema")
+        horizon["cosine"] = run_rebuild(xt, yt, xv, yv, cosine=True,
+                                        label="hz_cosine")
+        b = horizon["baseline"]["best"]
+        print(f"\nHORIZON ABLATION ({EPOCHS} epochs, best val Dice):")
+        print(f"  baseline   {b:.4f}")
+        print(f"  + EMA eval {horizon['ema'].get('best_ema'):.4f}")
+        print(f"  + cosine   {horizon['cosine']['best']:.4f}")
+        results["ablate_horizon"] = horizon
 
     if args.mode in ("ablate", "both"):
         results["ablate_baseline"] = run_rebuild(xt, yt, xv, yv,
