@@ -52,6 +52,54 @@ def test_two_phase_classifier_training(class_dataset):
     assert set(trainer.class_weights) == {0, 1}
 
 
+def test_sharded_classifier_train_step_matches_single_device(rng):
+    """One InceptionV3 train step on an 8-way data-sharded batch must equal
+    the unsharded step — grads AND train-mode BN batch statistics psum
+    across shards under GSPMD (mirrors the U-Net's sharded≡single test;
+    replaces the reference's `multi_gpu.py:7-58` DP wrapper check it never
+    had)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adipose_tpu.models.inception import InceptionV3Classifier
+    from adipose_tpu.parallel.mesh import data_sharding, make_mesh, replicate
+    from adipose_tpu.train.state import TrainState, make_optimizer
+    from adipose_tpu.train.trainer_classifier import _make_train_step
+
+    model = InceptionV3Classifier(dropout_rate=0.0, dtype=jnp.float32)
+    x = jnp.asarray(rng.rand(8, 96, 96, 3).astype(np.float32) * 2 - 1)
+    labels = jnp.asarray((rng.rand(8) > 0.5).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+    class_w = jnp.asarray([1.0, 1.5], jnp.float32)
+    drop_key = jax.random.PRNGKey(3)
+
+    def run(variables, xs, ys):
+        tx = make_optimizer("adam", 1e-3)
+        state = TrainState.create(variables["params"], tx,
+                                  variables["batch_stats"])
+        step = _make_train_step(model, label_smoothing=0.1, stats_mask=None)
+        return step(state, xs, ys, class_w, drop_key)
+
+    ref_state, ref_m = run(variables, x, labels)
+
+    mesh = make_mesh()
+    sh_state, sh_m = run(
+        replicate(mesh, variables),
+        jax.device_put(x, data_sharding(mesh, 4)),
+        jax.device_put(labels, data_sharding(mesh, 1)),
+    )
+    assert float(sh_m["loss"]) == pytest.approx(float(ref_m["loss"]), rel=1e-5)
+    assert float(sh_m["acc"]) == pytest.approx(float(ref_m["acc"]), abs=1e-6)
+    for tree_ref, tree_sh, tol in (
+        (ref_state.params, sh_state.params, 1e-5),
+        (ref_state.batch_stats, sh_state.batch_stats, 1e-5),
+    ):
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), tree_ref, tree_sh)
+        assert max(jax.tree.leaves(diffs)) < tol
+
+
 def test_preprocess_step_low_res_augment(rng):
     """--augment-low-res prep: same output contract as the default path
     (B, 299, 299, 3) in [-1, 1], identity-aug inputs agree across paths."""
