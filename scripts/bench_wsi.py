@@ -31,7 +31,8 @@ def main():
     # tile size, large_wsi_to_small_wsi_MS.py:486-514) run back-to-back
     # through one pipeline instance — the gigapixel operating point.
     multichunk = len(sys.argv) > 1 and sys.argv[1] == "multichunk"
-    slide_px = (6144 if multichunk else
+    gigapixel = len(sys.argv) > 1 and sys.argv[1] == "gigapixel"
+    slide_px = (6144 if (multichunk or gigapixel) else
                 int(sys.argv[1]) if len(sys.argv) > 1 else 4096)
     overlap = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
     transfer_dtype = sys.argv[3] if len(sys.argv) > 3 else "uint8"
@@ -69,6 +70,53 @@ def main():
     )
 
     res = pipe.run(slide)  # warmup: compiles every stage
+    if gigapixel:
+        # Full-scale memory-bounded WSI (VERDICT r4 #6): a 4×6 grid of 6144²
+        # chunks = 24 576 × 36 864 px = 0.906 GP — past the reference's real
+        # ~20k×40k slides (SURVEY §7). Chunks stream through run_many_iter
+        # from a LAZY generator; each chunk's probability map is written to
+        # disk and dropped as soon as its successors are dispatched, so host
+        # RSS stays bounded by ~3 in-flight chunks, not the 3.6 GB full-GP
+        # canvas. Peak RSS is reported from ru_maxrss.
+        import resource
+        import tempfile
+
+        import cv2
+
+        rows, cols = 4, 6
+        outdir = tempfile.mkdtemp(prefix="wsi_gp_")
+
+        def chunk_stream():
+            for i in range(rows * cols):
+                # distinct content per chunk without holding the full slide
+                yield np.roll(slide, 97 * i, axis=1)
+
+        t0 = time.perf_counter()
+        n_tiles = n_pos = 0
+        for i, r in enumerate(pipe.run_many_iter(chunk_stream())):
+            pm = np.asarray(r.probability_map)
+            img8 = pm if pm.dtype == np.uint8 else \
+                np.clip(pm * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            cv2.imwrite(f"{outdir}/chunk_{i:02d}.png", img8)
+            n_tiles += r.n_tiles
+            n_pos += r.n_positive
+            del r, pm, img8
+        total = time.perf_counter() - t0
+        peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        out = {
+            "metric": f"wsi_gigapixel_{rows}x{cols}x{slide_px}px_end_to_end_s",
+            "transfer_dtype": transfer_dtype,
+            "value": round(total, 3),
+            "unit": f"s ({rows * cols} chunks, warm programs, run_many_iter)",
+            "gigapixels": round(rows * cols * slide_px ** 2 / 1e9, 3),
+            "n_tiles": n_tiles,
+            "n_positive": n_pos,
+            "tiles_per_sec": round(n_tiles / total, 2),
+            "peak_host_rss_gb": round(peak_rss_gb, 2),
+            "chunk_artifacts": outdir,
+        }
+        print(json.dumps(out))
+        return
     if multichunk:
         # 4 distinct 6144² chunks (one gigapixel-slide quadrant grid),
         # stitched host-side — the multi-chunk flow a real WSI takes after
