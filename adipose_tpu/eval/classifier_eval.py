@@ -346,7 +346,7 @@ def run_classifier_evaluation(
         calibrator = fit_calibrator(cal_probs, cal_labels, calibration)
         cal_applied = apply_calibrator(cal_probs, calibrator)
         calibrator_info = {
-            "method": calibrator[0], "info": calibrator[2],
+            "method": calibrator.method, "info": calibrator.info,
             "val_calibrated_auc": float(skm.roc_auc_score(cal_labels, cal_applied)),
             "val_calibrated_pr_auc": float(
                 skm.average_precision_score(cal_labels, cal_applied)),
@@ -359,7 +359,7 @@ def run_classifier_evaluation(
         n_cal = int(len(probs) * calibration_split)
         cal_idx, eval_idx = idx[:n_cal], idx[n_cal:]
         calibrator = fit_calibrator(probs[cal_idx], labels[cal_idx], calibration)
-        calibrator_info = {"method": calibrator[0], "info": calibrator[2]}
+        calibrator_info = {"method": calibrator.method, "info": calibrator.info}
         probs_eval = apply_calibrator(probs[eval_idx], calibrator)
         labels_eval = labels[eval_idx]
         files_eval = [dataset.files[i] for i in eval_idx]
