@@ -85,14 +85,20 @@ def run_rebuild(root: Path):
     cfg = DataBuildConfig(tile_size=1024, stride=512, apply_stain_norm=True,
                           reference_path=str(root / "stain_ref.jpg"),
                           val_fraction=0.2, test_fraction=0.0, workers=1)
-    builder = SegmentationDatasetBuilder(cfg, out_parent=root / "rebuild_out")
-    t0 = time.perf_counter()
-    build_root = builder.build(root)
-    dt = time.perf_counter() - t0
-    n = builder.stats.tiles_total
-    emit("rebuild_build", n / dt, "tiles_examined/s",
-         tiles=n, seconds=round(dt, 2),
-         kept=builder.stats.tiles_kept_pos + builder.stats.tiles_kept_neg)
+    build_root = None
+    # cold run pays the remote first-compiles of the device QC/Reinhard
+    # programs (1-5 min each on axon); warm is the amortized rate a real
+    # many-slide build sees
+    for label in ("cold", "warm"):
+        builder = SegmentationDatasetBuilder(
+            cfg, out_parent=root / f"rebuild_out_{label}")
+        t0 = time.perf_counter()
+        build_root = builder.build(root)
+        dt = time.perf_counter() - t0
+        n = builder.stats.tiles_total
+        emit(f"rebuild_build_{label}", n / dt, "tiles_examined/s",
+             tiles=n, seconds=round(dt, 2),
+             kept=builder.stats.tiles_kept_pos + builder.stats.tiles_kept_neg)
     return build_root
 
 
@@ -134,13 +140,11 @@ def _install_stubs():
 
 def run_reference(root: Path):
     _install_stubs()
-    if _REF not in sys.path:
-        sys.path.insert(0, _REF)
-    import importlib.util
+    for p in (_REF, f"{_REF}/Segmentation"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
 
-    spec = importlib.util.spec_from_file_location(
-        "ref_build_dataset", f"{_REF}/Segmentation/build_dataset.py")
-    mod = importlib.util.module_from_spec(spec)
     argv = sys.argv
     sys.argv = [
         "build_dataset.py", "--data-root", str(root),
@@ -151,7 +155,9 @@ def run_reference(root: Path):
         "--stain-normalize", "--reference-path", str(root / "stain_ref.jpg"),
     ]
     try:
-        spec.loader.exec_module(mod)
+        # import under its REAL module name so multiprocessing.Pool can
+        # pickle its worker functions by reference in the mask stage
+        mod = importlib.import_module("build_dataset")
         t0 = time.perf_counter()
         mod.main()
         dt = time.perf_counter() - t0
