@@ -28,6 +28,7 @@ from datetime import datetime
 from pathlib import Path
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,8 +40,35 @@ from adipose_tpu.data.rasterize import (
     prepare_target_mask,
     slide_has_valid_annotations,
 )
-from adipose_tpu.ops.qc import classify_tiles_batch
+from adipose_tpu.ops.qc import _cv2_gray, classify_tiles_batch
 from adipose_tpu.ops.stain import DEFAULT_REFERENCE, reinhard_normalize_batch
+
+
+def _device_rgb_qc(tiles_u8, ref_mean, ref_std, white_t, white_r, blur_t,
+                   stain: bool):
+    """One fused device program per RGB tile chunk: optional per-tile
+    Reinhard → QC verdicts → cv2-exact grayscale.
+
+    The tunnel makes transfer bytes, not FLOPs, the builder's cost: the
+    unfused flow (f32 upload → Reinhard → f32 download → f32 re-upload →
+    QC → host cvtColor) measured 0.7 tiles/s vs the reference CPU
+    builder's 3.3 (scripts/bench_dataset_build.py, r5). Fused: the u8 RGB
+    tiles go up ONCE (3 MB/tile) and only u8 grayscale (1 MB) + QC scalars
+    come back — 9× less tunnel traffic, with the stain/QC math unchanged.
+
+    ``floor∘clip`` reproduces the prior host ``astype(np.uint8)``
+    truncation bit-exactly (lab2rgb clips to [0,1], so no wrap can occur).
+    """
+    x = tiles_u8.astype(jnp.float32)
+    if stain:
+        n = reinhard_normalize_batch(x / 255.0, ref_mean, ref_std)
+        x = jnp.clip(jnp.floor(n * 255.0), 0.0, 255.0)
+    v = classify_tiles_batch(x, white_t, white_r, blur_t)
+    gray = jax.vmap(_cv2_gray)(x).astype(jnp.uint8)
+    return gray, v
+
+
+_device_rgb_qc_jit = jax.jit(_device_rgb_qc, static_argnames=("stain",))
 
 
 def _axis_offsets(extent: int, tile: int, stride: int) -> np.ndarray:
@@ -247,7 +275,9 @@ class SegmentationDatasetBuilder:
         out = []
         cfg = self.cfg
         for i in range(0, len(tiles), self.qc_batch):
-            chunk = np.stack(tiles[i : i + self.qc_batch]).astype(np.float32)
+            # upload at native dtype (u8 tiles go up 4× smaller than f32 —
+            # the tunnel is the builder's bottleneck); QC casts on device
+            chunk = np.stack(tiles[i : i + self.qc_batch])
             v = classify_tiles_batch(
                 jnp.asarray(chunk), cfg.white_threshold, cfg.white_ratio,
                 cfg.blur_threshold,
@@ -293,22 +323,29 @@ class SegmentationDatasetBuilder:
 
         if rgb is not None:
             # reference order (build_dataset.py:1211-1284): crop → optional
-            # per-tile Reinhard → QC on the (normalized) COLOR tile
-            tiles_rgb = [rgb[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
-                         for (_, _, ys, xs) in coords]
+            # per-tile Reinhard → QC on the (normalized) COLOR tile — all in
+            # ONE device program per chunk (see _device_rgb_qc: one u8
+            # upload, u8 grayscale + QC scalars back)
             if cfg.apply_stain_norm:
                 ref = self._stain_reference()
                 ref_mean, ref_std = ref.as_arrays()
-                normed = []
-                for i in range(0, len(coords), self.qc_batch):
-                    chunk = np.stack(
-                        tiles_rgb[i : i + self.qc_batch]
-                    ).astype(np.float32) / 255.0
-                    out = reinhard_normalize_batch(jnp.asarray(chunk), ref_mean, ref_std)
-                    normed.extend(np.asarray(out * 255.0).astype(np.uint8))
-                tiles_rgb = normed
-            verdicts = self._qc_batchwise(tiles_rgb)
-            tiles_gray = [cv2.cvtColor(t, cv2.COLOR_RGB2GRAY) for t in tiles_rgb]
+            else:  # placeholders; the stain branch is compiled out
+                ref_mean = ref_std = jnp.zeros(3, jnp.float32)
+            tiles_gray, verdicts = [], []
+            for i in range(0, len(coords), self.qc_batch):
+                chunk = np.stack([
+                    rgb[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
+                    for (_, _, ys, xs) in coords[i : i + self.qc_batch]])
+                gray, v = _device_rgb_qc_jit(
+                    jnp.asarray(chunk), jnp.asarray(ref_mean),
+                    jnp.asarray(ref_std), cfg.white_threshold,
+                    cfg.white_ratio, cfg.blur_threshold,
+                    stain=cfg.apply_stain_norm)
+                tiles_gray.extend(np.asarray(gray))
+                vh = {k: np.asarray(a) for k, a in v.items()}
+                verdicts.extend(
+                    {k: a[j] for k, a in vh.items()}
+                    for j in range(chunk.shape[0]))
         else:
             if gray.dtype == np.uint8:
                 # native memcpy gather (core/native.py) — the tiling hot

@@ -322,6 +322,43 @@ class TestTiling:
         imgs, masks = next(tds.epoch_batches(0))
         assert imgs.shape == (2, 64, 64)
 
+    def test_fused_rgb_qc_matches_host_flow(self, rng):
+        """The single-upload fused Reinhard→QC→grayscale device program
+        (r5, tunnel-bandwidth fix) must reproduce the prior unfused flow
+        bit-exactly: Reinhard → astype(u8) truncation → QC on the truncated
+        tile → cv2.cvtColor grayscale."""
+        import jax.numpy as jnp
+
+        from adipose_tpu.data.tiling import _device_rgb_qc_jit
+        from adipose_tpu.ops.qc import classify_tiles_batch
+        from adipose_tpu.ops.stain import DEFAULT_REFERENCE, reinhard_normalize_batch
+
+        tiles = (rng.rand(3, 64, 64, 3) * 255).astype(np.uint8)
+        tiles[0, :16] = 255  # white patch
+        ref_mean, ref_std = DEFAULT_REFERENCE.as_arrays()
+        for stain in (False, True):
+            gray, v = _device_rgb_qc_jit(
+                jnp.asarray(tiles), jnp.asarray(ref_mean),
+                jnp.asarray(ref_std), 235.0, 0.70, 7.5, stain=stain)
+            # old flow: host round-trip then separate QC + cv2 grayscale
+            if stain:
+                out = reinhard_normalize_batch(
+                    jnp.asarray(tiles.astype(np.float32) / 255.0),
+                    ref_mean, ref_std)
+                host_tiles = np.asarray(out * 255.0).astype(np.uint8)
+            else:
+                host_tiles = tiles
+            want_v = classify_tiles_batch(
+                jnp.asarray(host_tiles.astype(np.float32)), 235.0, 0.70, 7.5)
+            for k in ("white_ratio", "laplacian_var"):
+                np.testing.assert_allclose(
+                    np.asarray(v[k]), np.asarray(want_v[k]), rtol=1e-6)
+            for k in ("is_empty", "is_blurry", "is_good"):
+                assert np.array_equal(np.asarray(v[k]), np.asarray(want_v[k]))
+            want_gray = np.stack([
+                cv2.cvtColor(t, cv2.COLOR_RGB2GRAY) for t in host_tiles])
+            assert np.array_equal(np.asarray(gray), want_gray), f"stain={stain}"
+
     def test_negative_fraction(self, synthetic_slides):
         cfg = DataBuildConfig(tile_size=64, stride=64, negative_fraction=0.4,
                               val_fraction=0.0, test_fraction=0.0)
