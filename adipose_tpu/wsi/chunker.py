@@ -64,7 +64,9 @@ def enhance(img: np.ndarray, method: str = "none") -> np.ndarray:
     """Enhancement variants (``..._MS.py:182-298``), device-side math."""
     if method == "none":
         return img
-    x = jnp.asarray(img.astype(np.float32))
+    # upload at native dtype (u8 chunk = 1/4 the f32 bytes through the
+    # tunnel — the r5 builder lesson, CLAUDE.md), cast on device
+    x = jnp.asarray(img).astype(jnp.float32)
     if method == "zscore":
         out = zscore_to_target(x)
     elif method == "percentile":

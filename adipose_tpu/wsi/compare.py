@@ -89,8 +89,8 @@ def compute_metrics(img_a: np.ndarray, img_b: np.ndarray) -> dict:
     Images are resampled to matching shape first when needed."""
     if img_a.shape != img_b.shape:
         img_b = resample_image(img_b, img_a.shape[:2])
-    a = jnp.asarray(img_a.astype(np.float32))
-    b = jnp.asarray(img_b.astype(np.float32))
+    a = jnp.asarray(img_a).astype(jnp.float32)  # native-dtype upload
+    b = jnp.asarray(img_b).astype(jnp.float32)
     return {
         "mse": float(jnp.mean((a - b) ** 2)),
         "ssim": float(ssim(a, b)),

@@ -48,7 +48,7 @@ def preprocess_ecm_image(img: np.ndarray, cfg: ECMPreprocessConfig | None = None
     cfg = cfg or ECMPreprocessConfig()
     if img.ndim == 3:
         img = cv2.cvtColor(img[..., :3], cv2.COLOR_RGB2GRAY)
-    x = jnp.asarray(img.astype(np.float32))
+    x = jnp.asarray(img).astype(jnp.float32)  # native-dtype upload, cast on device
 
     if cfg.deband_method == "fft":
         x = remove_banding_fft(x, (cfg.fft_freq_low, cfg.fft_freq_high),
