@@ -38,7 +38,9 @@ def predict_with_tta(predict_fn, variables, dataset, mode: str = "full",
     tta = make_classifier_tta_predict(predict_fn, mode)
     probs, labels = [], []
     for imgs, labs in dataset.epoch_batches(0, shuffle=False):
-        out = np.asarray(tta(variables, jnp.asarray(imgs.astype(np.float32))))
+        # native-dtype upload (u8 tiles, 4× fewer tunnel bytes); the predict
+        # path casts on device (make_inception_preprocess takes images_u8)
+        out = np.asarray(tta(variables, jnp.asarray(imgs)))
         probs.append(out)
         labels.append(labs)
     n = len(dataset)
@@ -329,7 +331,7 @@ def run_classifier_evaluation(
             else:
                 ps, ls = [], []
                 for imgs, labs in ds.epoch_batches(0, shuffle=False):
-                    ps.append(np.asarray(predict_fn(variables, jnp.asarray(imgs.astype(np.float32)))))
+                    ps.append(np.asarray(predict_fn(variables, jnp.asarray(imgs))))
                     ls.append(labs)
                 probs, labels = np.concatenate(ps)[: len(ds)], np.concatenate(ls)[: len(ds)]
             prob_list.append(probs)
