@@ -67,7 +67,8 @@ class SlidingWindowInference:
         ``predict_fn(params, tiles(B,T,T)) -> (B,T,T)`` — normalization is the
         caller's business (typically already folded into predict_fn).
         """
-        image = jnp.asarray(image, jnp.float32)
+        # native-dtype upload (a u8 slide ships 4× fewer bytes), cast on device
+        image = jnp.asarray(image).astype(jnp.float32)
         h, w = image.shape
         t = self.tile_size
         pad_h, pad_w = max(0, t - h), max(0, t - w)
