@@ -90,6 +90,10 @@ class _BoundedCache:
         self.limit_bytes = int(limit_bytes)
         self._store: dict = {}
         self._used = 0
+        # put() runs concurrently from the decode thread pool (and padded
+        # final batches repeat an index, so duplicate-key puts DO happen);
+        # the budget check-then-insert must be atomic
+        self._lock = threading.Lock()
 
     def __contains__(self, key) -> bool:
         return key in self._store
@@ -100,9 +104,12 @@ class _BoundedCache:
     def put(self, key, value) -> None:
         arrays = value if isinstance(value, tuple) else (value,)
         nbytes = sum(a.nbytes for a in arrays)
-        if self._used + nbytes <= self.limit_bytes:
-            self._store[key] = value
-            self._used += nbytes
+        with self._lock:
+            if key in self._store:
+                return
+            if self._used + nbytes <= self.limit_bytes:
+                self._store[key] = value
+                self._used += nbytes
 
     def __len__(self) -> int:
         return len(self._store)

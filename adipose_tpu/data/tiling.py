@@ -336,12 +336,12 @@ class SegmentationDatasetBuilder:
                 chunk = np.stack([
                     rgb[ys : ys + cfg.tile_size, xs : xs + cfg.tile_size]
                     for (_, _, ys, xs) in coords[i : i + self.qc_batch]])
-                gray, v = _device_rgb_qc_jit(
+                gray_chunk, v = _device_rgb_qc_jit(
                     jnp.asarray(chunk), jnp.asarray(ref_mean),
                     jnp.asarray(ref_std), cfg.white_threshold,
                     cfg.white_ratio, cfg.blur_threshold,
                     stain=cfg.apply_stain_norm)
-                tiles_gray.extend(np.asarray(gray))
+                tiles_gray.extend(np.asarray(gray_chunk))
                 vh = {k: np.asarray(a) for k, a in v.items()}
                 verdicts.extend(
                     {k: a[j] for k, a in vh.items()}

@@ -148,24 +148,27 @@ def evaluate_predictions(labels: np.ndarray, probs: np.ndarray) -> dict:
     sweep = _confusion_sweep(labels, probs, grid)
     best_idx = int(np.argmax(sweep["f1"]))  # first maximum, like the reference
 
-    def at(thresh: float) -> dict:
-        s = _confusion_sweep(labels, probs, np.array([thresh]))
-        tn, fp = s["tn"][0], s["fp"][0]
+    def summarize(s, i, thresh) -> dict:
+        tn, fp = s["tn"][i], s["fp"][i]
         return {
             "threshold": float(thresh),
-            "confusion_matrix": {k: int(s[k][0]) for k in ("tn", "fp", "fn", "tp")},
-            "precision": float(s["precision"][0]),
-            "recall": float(s["recall"][0]),
-            "f1": float(s["f1"][0]),
+            "confusion_matrix": {k: int(s[k][i]) for k in ("tn", "fp", "fn", "tp")},
+            "precision": float(s["precision"][i]),
+            "recall": float(s["recall"][i]),
+            "f1": float(s["f1"][i]),
             "specificity": float(tn / (tn + fp + 1e-7)),
         }
 
+    # best_f1 reads its grid row straight from the sweep; default_0.5 needs
+    # its own (1×N) pass because grid[9] is 0.4999…94, not exactly 0.5 (the
+    # reference also thresholds the default summary at the literal 0.5)
+    half = _confusion_sweep(labels, probs, np.array([0.5]))
     return {
         "roc_auc": float(skm.roc_auc_score(labels, probs)),
         "pr_auc": float(skm.average_precision_score(labels, probs)),
         "threshold_metrics": {
-            "default_0.5": at(0.5),
-            "best_f1": at(float(grid[best_idx])),
+            "default_0.5": summarize(half, 0, 0.5),
+            "best_f1": summarize(sweep, best_idx, grid[best_idx]),
             "per_threshold": [
                 {"threshold": float(t),
                  "precision": float(sweep["precision"][i]),

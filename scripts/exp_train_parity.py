@@ -82,7 +82,10 @@ LR = 2e-4          # production compiles 1e-4 (:1471); 2e-4 converges the
                    # tiny synthetic task in a CPU-feasible step budget —
                    # both frameworks use the same value, so parity holds
 N_TRAIN, N_VAL = 64, 16
-EPOCHS = int(os.environ.get("ADIPOSE_ABLATE_EPOCHS", "30"))
+# ablate-horizon exists to measure at the reference's production schedule
+# length, so it defaults to 150 epochs; every other mode defaults to 30
+EPOCHS = int(os.environ.get(
+    "ADIPOSE_ABLATE_EPOCHS", "150" if _mode_arg == "ablate-horizon" else "30"))
 
 
 def synth_dataset(n, seed):
