@@ -234,11 +234,19 @@ def detect_model_config(ckpt_dir: str | Path):
 
 
 class CsvLogger:
-    """Per-epoch CSV metrics (Keras CSVLogger contract: header from first row)."""
+    """Per-epoch CSV metrics (Keras CSVLogger contract: header from first row).
 
-    def __init__(self, path: str | Path):
+    ``append=True`` (Keras's flag of the same name) adopts an existing file's
+    header and appends — a preemption-resumed phase must not truncate the
+    pre-resume epoch rows."""
+
+    def __init__(self, path: str | Path, append: bool = False):
         self.path = Path(path)
         self._header = None
+        if append and self.path.exists():
+            first = self.path.read_text().splitlines()
+            if first:
+                self._header = first[0].split(",")
 
     def log(self, epoch: int, metrics: dict):
         row = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}

@@ -26,7 +26,7 @@ import numpy as np
 
 from adipose_tpu.core.config import TrainConfig, UNetConfig
 from adipose_tpu.core.jitopts import infer_jit, train_jit
-from adipose_tpu.core.seeding import key_for
+from adipose_tpu.core.seeding import key_for, keys_for_batch_range
 from adipose_tpu.data.augment import augment_batch, batched_tier
 from adipose_tpu.data.loader import TileDataset, prefetch_batches
 from adipose_tpu.data.stats import compute_mean_std, dataset_image_paths
@@ -161,7 +161,7 @@ class UNetTrainer:
         if self.cfg.shard_spatial:
             self.mesh = make_mesh_spatial(
                 self.cfg.batch_size, self.cfg.num_devices,
-                (model_cfg or UNetConfig()).tile_size,
+                self.model_cfg.tile_size,
             )
             self._shard = shard_batch_spatial
         else:
@@ -199,6 +199,10 @@ class UNetTrainer:
         )
         if not len(self.train_data):
             raise FileNotFoundError(f"no training tiles under {ds}")
+        if not len(self.val_data):
+            # fail HERE, not at the end of the first epoch's (minutes-long)
+            # training pass when val_metrics[0] would IndexError
+            raise FileNotFoundError(f"no validation tiles under {ds}")
 
         # Global train stats → normalization_stats.json (:1194-1207)
         self.mean, self.std = compute_mean_std(
@@ -239,20 +243,31 @@ class UNetTrainer:
         state = TrainState.create(params, tx)
 
         def build_steps():
-            return (
-                _make_fused_train_step(
-                    self.model, self.loss_fn, augment_tier,
-                    cfg.normalization_method, cfg.percentile_low,
-                    cfg.percentile_high, mesh=self.mesh,
-                ),
-                _make_val_step(
-                    self.model, self.loss_fn, cfg.normalization_method,
-                    cfg.percentile_low, cfg.percentile_high, mesh=self.mesh,
-                ),
-            )
+            # the train/val/augment programs depend only on (model flags,
+            # augment tier) — both phases normally share them, so reuse the
+            # phase-1 jit wrappers rather than paying the phase-2 boundary
+            # 1-5 min remote recompiles of identical programs. The retry
+            # ladder's clone(remat=...) changes the key, so it builds fresh.
+            key = (augment_tier, self.model.remat, self.model.remat_level1)
+            cache = self.__dict__.setdefault("_step_cache", {})
+            if key not in cache:
+                cache[key] = (
+                    _make_fused_train_step(
+                        self.model, self.loss_fn, augment_tier,
+                        cfg.normalization_method, cfg.percentile_low,
+                        cfg.percentile_high, mesh=self.mesh,
+                    ),
+                    _make_val_step(
+                        self.model, self.loss_fn, cfg.normalization_method,
+                        cfg.percentile_low, cfg.percentile_high, mesh=self.mesh,
+                    ),
+                    make_augment_step(augment_tier, mesh=self.mesh),
+                )
+            return cache[key][:2]
 
         train_step, val_step = build_steps()
-        augment_step = make_augment_step(augment_tier, mesh=self.mesh)
+        augment_step = self._step_cache[
+            (augment_tier, self.model.remat, self.model.remat_level1)][2]
         warmup = cfg.warmup_epochs if phase == 1 else cfg.warmup_epochs_phase2
         schedule = (
             cosine_with_warmup(lr, min_lr, warmup, epochs)
@@ -262,7 +277,6 @@ class UNetTrainer:
         plateau = None if schedule else ReduceLROnPlateau(lr=lr, min_lr=min_lr)
         stopper = EarlyStopping(patience=cfg.early_stopping_patience)
         ema = EmaTracker(decay=ema_decay) if cfg.use_ema else None
-        logger = ckpt.CsvLogger(self.ckpt_dir / f"phase{phase}_training.log")
 
         mean = jnp.float32(self.mean)
         std = jnp.float32(self.std)
@@ -290,18 +304,39 @@ class UNetTrainer:
                 start_epoch = int(meta["epoch"]) + 1
                 best_dice = float(meta.get("best_dice", -np.inf))
                 best_path = self.ckpt_dir / f"phase{phase}_best"
-                if best_dice > -np.inf and best_path.exists():
-                    best_params = ckpt.load_params(best_path)
+                if best_dice > -np.inf:
+                    if best_path.exists():
+                        best_params = ckpt.load_params(best_path)
+                    else:
+                        # the metadata promises a best snapshot that isn't on
+                        # disk (deleted / torn write at preemption) — keeping
+                        # best_dice would let the phase return FRESH-INIT
+                        # params labeled with the recorded dice
+                        print("[resume] WARNING: recorded best_dice "
+                              f"{best_dice:.4f} but {best_path.name} is "
+                              "missing — resetting best to -inf")
+                        best_dice = -np.inf
                 if plateau is not None and "plateau_lr" in meta:
                     plateau.lr = float(meta["plateau_lr"])
+                    if meta.get("plateau_best") is not None:
+                        plateau.best = float(meta["plateau_best"])
+                        plateau.wait = int(meta.get("plateau_wait", 0))
                     state = state.replace(
                         opt_state=set_learning_rate(state.opt_state, plateau.lr))
                 if "stopper_best" in meta and meta["stopper_best"] is not None:
                     stopper.best = float(meta["stopper_best"])
                     stopper.best_epoch = int(meta.get("stopper_best_epoch", -1))
                     stopper.wait = int(meta.get("stopper_wait", 0))
+                if ema is not None and (self.ckpt_dir / "latest_ema").exists():
+                    ema.ema_params = jax.tree.map(
+                        jnp.asarray, ckpt.load_params(self.ckpt_dir / "latest_ema"))
+                    if meta.get("ema_best_metric") is not None:
+                        ema.best_metric = float(meta["ema_best_metric"])
                 print(f"[resume] phase {phase} from epoch {start_epoch} "
                       f"(best dice {best_dice:.4f}; optimizer moments fresh)")
+
+        logger = ckpt.CsvLogger(self.ckpt_dir / f"phase{phase}_training.log",
+                                append=start_epoch > 0)
 
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -332,11 +367,13 @@ class UNetTrainer:
                     # the buffers intact, but if this failure came from
                     # execution the donated state is gone and retrying would
                     # mask the real error — check before retrying.
-                    donated = any(
-                        getattr(leaf, "is_deleted", lambda: False)()
-                        for leaf in jax.tree_util.tree_leaves(state.params)
-                    )
-                    if (donated or self.model.remat
+                    def donated():
+                        return any(
+                            getattr(leaf, "is_deleted", lambda: False)()
+                            for leaf in jax.tree_util.tree_leaves(state.params)
+                        )
+
+                    if (donated() or self.model.remat
                             or not _looks_like_compile_oom(err)):
                         raise
                     try:
@@ -344,8 +381,12 @@ class UNetTrainer:
                               "retrying once (transient?)")
                         return train_step(state, imgs, masks, step_key,
                                           mean, std)
-                    except Exception:
-                        pass
+                    except Exception as err2:
+                        # a rung that fails during EXECUTION consumed the
+                        # donated state — surface ITS error rather than
+                        # dispatching deleted buffers at the next rung
+                        if donated():
+                            raise err2
                     if not self.model.remat_level1:
                         try:
                             print("[train] step failed again; rebuilding "
@@ -354,8 +395,9 @@ class UNetTrainer:
                             train_step, val_step = build_steps()
                             return train_step(state, imgs, masks, step_key,
                                               mean, std)
-                        except Exception:
-                            pass
+                        except Exception as err3:
+                            if donated():
+                                raise err3
                     print("[train] level-1 remat insufficient; rebuilding "
                           "with remat=True")
                     self.model = self.model.clone(remat=True)
@@ -372,11 +414,18 @@ class UNetTrainer:
             # runtime's intermittent multi-second stall when a program's
             # output feeds the immediately-next dispatch (BASELINE.md r3
             # axon lessons).
+            # whole-epoch key schedule in ONE device program: pairs[b] is
+            # exactly split(key_for(f"train.p{phase}", seed, epoch*100003+b)),
+            # replacing the two ~100 ms per-batch dispatches the axon tunnel
+            # charges for key_for + split (BASELINE.md r3 lessons; the
+            # classifier epoch loop already works this way)
+            pairs = keys_for_batch_range(
+                f"train.p{phase}", cfg.seed,
+                epoch * 100003 + np.arange(self.train_data.steps_per_epoch))
             pending = None
             for b, (imgs, masks) in enumerate(
                     prefetch_batches(self.train_data.epoch_batches(epoch))):
-                rng = key_for(f"train.p{phase}", cfg.seed, epoch * 100003 + b)
-                aug_key, step_key = jax.random.split(rng)
+                aug_key, step_key = jnp.asarray(pairs[b, 0]), jnp.asarray(pairs[b, 1])
                 imgs, masks = self._shard(self.mesh, (imgs, masks))
                 aug_imgs, aug_masks = augment_step(aug_key, imgs, masks)
                 if pending is not None:
@@ -415,9 +464,15 @@ class UNetTrainer:
                 import json as _json
 
                 ckpt.save_params(self.ckpt_dir, "latest", jax.device_get(state.params))
+                if ema is not None and ema.ema_params is not None:
+                    ckpt.save_params(self.ckpt_dir, "latest_ema",
+                                     jax.device_get(ema.ema_params))
                 (self.ckpt_dir / "latest_state.json").write_text(_json.dumps({
                     "phase": phase, "epoch": epoch, "best_dice": float(best_dice),
                     "plateau_lr": plateau.lr if plateau is not None else None,
+                    "plateau_best": plateau.best if plateau is not None else None,
+                    "plateau_wait": plateau.wait if plateau is not None else 0,
+                    "ema_best_metric": ema.best_metric if ema is not None else None,
                     "stopper_best": stopper.best,
                     "stopper_best_epoch": stopper.best_epoch,
                     "stopper_wait": stopper.wait,

@@ -570,6 +570,13 @@ class DualModelWSIPipeline:
             raise ValueError(f"cannot read {image_path}")
         if image.dtype == np.uint16:
             image = (image / 257.0).astype(np.uint8)
+        # run()'s contract is grayscale-or-RGB; cv2.imread returns BGR(A).
+        # Without this, color slides got channel-swapped luma (0.299 weight
+        # on BLUE) — disagreeing with the builder/evaluator, which convert
+        # BGR correctly — and BGRA PNGs crashed cvtColor downstream.
+        if image.ndim == 3:
+            code = cv2.COLOR_BGRA2RGB if image.shape[2] == 4 else cv2.COLOR_BGR2RGB
+            image = cv2.cvtColor(image, code)
         return image
 
     @staticmethod

@@ -211,6 +211,27 @@ class TestCompare:
 
 
 class TestDualModelPipeline:
+    def test_read_image_returns_rgb(self, tmp_path):
+        """cv2.imread hands back BGR(A); _read_image must deliver run()'s
+        RGB contract (channel-swapped luma shifted every color slide's QC
+        before the r5 fix) and not crash on 4-channel PNGs."""
+        import cv2
+
+        from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
+
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        rgb[..., 0] = 200  # red in RGB terms
+        cv2.imwrite(str(tmp_path / "t.png"),
+                    cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        got = DualModelWSIPipeline._read_image(tmp_path / "t.png")
+        assert np.array_equal(got, rgb)
+
+        bgra = np.dstack([cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR),
+                          np.full((8, 8), 255, np.uint8)])
+        cv2.imwrite(str(tmp_path / "t4.png"), bgra)
+        got4 = DualModelWSIPipeline._read_image(tmp_path / "t4.png")
+        assert got4.shape == (8, 8, 3) and np.array_equal(got4, rgb)
+
     def test_cascade_gates_segmentation(self, rng):
         """Only classifier-positive tiles reach the segmenter."""
         from adipose_tpu.wsi.pipeline import DualModelWSIPipeline
