@@ -62,7 +62,9 @@ def load_validation_data(val_root: str | Path):
         p for p in images_dir.rglob("*") if p.suffix.lower() in img_exts
     )
     masks_by_stem = {}
-    for m in masks_dir.rglob("*"):
+    # sorted: first-seen wins on stem collisions, so the chosen mask must
+    # not depend on filesystem iteration order
+    for m in sorted(masks_dir.rglob("*")):
         if m.suffix.lower() in img_exts:
             masks_by_stem.setdefault(m.stem, m)
             if m.stem.endswith("_mask"):
@@ -270,12 +272,25 @@ class PublicationEvaluator:
         # Per-tile metrics: device-batched confusion + AUC (chunked vmap —
         # the reference computes these one tile at a time,
         # full_evaluation_enhanced.py:847-888), boundary on host threads
-        # (scipy's EDT releases the GIL).
-        pred_arr = jnp.asarray(np.stack(preds))
-        true_arr = jnp.asarray(np.stack(trues))
-        pm = batched_pixel_metrics(pred_arr, true_arr, threshold)
-        pm = {k: np.asarray(v) for k, v in pm.items()}
-        am = batched_auc_metrics(pred_arr, true_arr)
+        # (scipy's EDT releases the GIL). Batched PER SHAPE GROUP: sliding-
+        # window datasets mix image sizes (predict_tiles already groups the
+        # same way), so one np.stack over everything would crash.
+        shape_groups = defaultdict(list)
+        for i, p in enumerate(preds):
+            shape_groups[p.shape].append(i)
+        n_tiles = len(preds)
+        pm = {}
+        am = {}
+        for shape, idxs in shape_groups.items():
+            pa = jnp.asarray(np.stack([preds[i] for i in idxs]))
+            ta = jnp.asarray(np.stack([trues[i] for i in idxs]))
+            g_pm = {k: np.asarray(v)
+                    for k, v in batched_pixel_metrics(pa, ta, threshold).items()}
+            g_am = {k: np.asarray(v)
+                    for k, v in batched_auc_metrics(pa, ta).items()}
+            for d, g in ((pm, g_pm), (am, g_am)):
+                for k, vals in g.items():
+                    d.setdefault(k, np.empty(n_tiles, np.float64))[idxs] = vals
         bms = _boundary_metrics_all(preds, trues, threshold)
         tile_rows = []
         for i, path in enumerate(tile_paths):
@@ -319,8 +334,6 @@ class PublicationEvaluator:
             "metrics": summary,
             "config": asdict(cfg),
         }
-        self._write_artifacts(out, dataset_name, results, tile_rows)
-
         if save_visualizations:
             from adipose_tpu.eval.visualize import save_bucketed_visualizations
 
@@ -351,6 +364,9 @@ class PublicationEvaluator:
                 max_per_bucket=10 ** 9,
             )
             results["overlay_buckets"] = counts
+        # write AFTER the bucket sections so metrics.json carries the same
+        # dict the caller receives (bucket counts were silently absent before)
+        self._write_artifacts(out, dataset_name, results, tile_rows)
         return results
 
     def _write_artifacts(self, out: Path, dataset_name: str, results: dict, tile_rows):

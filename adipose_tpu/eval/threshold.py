@@ -35,15 +35,25 @@ def extract_slide_id(tile_path: str) -> str:
     return stem
 
 
+#: module-level jit: repeated calls (coarse + fine adaptive stages, repeated
+#: evaluations) reuse the compiled sweep instead of re-jitting per call
+_sweep_jit = jax.jit(jax.vmap(f1_threshold_sweep, in_axes=(0, 0, None)))
+
+
 def _f1_matrix(predictions, ground_truths, thresholds) -> np.ndarray:
-    """(n_tiles, n_thresholds) F1 matrix, computed on device per tile."""
+    """(n_tiles, n_thresholds) F1 matrix, computed on device per tile.
+
+    Batches per shape group — sliding-window datasets mix image sizes."""
     thr = jnp.asarray(thresholds, jnp.float32)
-    sweep = jax.jit(
-        jax.vmap(lambda p, t: f1_threshold_sweep(p, t, thr), in_axes=(0, 0))
-    )
-    preds = jnp.asarray(np.stack(predictions))
-    trues = jnp.asarray(np.stack(ground_truths))
-    return np.asarray(sweep(preds, trues))
+    groups = defaultdict(list)
+    for i, p in enumerate(predictions):
+        groups[p.shape].append(i)
+    out = np.empty((len(predictions), len(thr)), np.float64)
+    for shape, idxs in groups.items():
+        preds = jnp.asarray(np.stack([predictions[i] for i in idxs]))
+        trues = jnp.asarray(np.stack([ground_truths[i] for i in idxs]))
+        out[idxs] = np.asarray(_sweep_jit(preds, trues, thr))
+    return out
 
 
 def _slide_macro_f1(f1_matrix: np.ndarray, slide_ids) -> np.ndarray:

@@ -68,9 +68,8 @@ def accumulate_predictions(acc: jax.Array, tiles: jax.Array,
 def accumulate_weights(wsum: jax.Array, positions: jax.Array,
                        weight_map: jax.Array, valid: jax.Array) -> jax.Array:
     """Add the weight map at each valid position (denominator canvas)."""
-    n = positions.shape[0]
-    w = weight_map[None] * valid[:, None, None]
-    return _scatter_add(wsum, jnp.broadcast_to(w, (n, *weight_map.shape)), positions)
+    w = weight_map[None] * valid[:, None, None]  # already (n, t, t)
+    return _scatter_add(wsum, w, positions)
 
 
 @jax.jit
@@ -186,7 +185,9 @@ def sliding_window_positions(
             x = min(xi * stride, w - tile_size)
             if y >= 0 and x >= 0 and y + tile_size <= h and x + tile_size <= w:
                 positions.append((y, x))
-    return np.asarray(positions, dtype=np.int32)
+    # reshape(-1, 2): an image smaller than the tile yields zero positions,
+    # which must still index as an empty (0, 2) array, not shape (0,)
+    return np.asarray(positions, dtype=np.int32).reshape(-1, 2)
 
 
 @partial(jax.jit, static_argnames=("tile_size",))

@@ -90,6 +90,12 @@ class TestSlidingWindow:
         sw = SlidingWindowInference(tile_size=64, overlap=0.9)
         assert sw.overlap == 0.75
 
+    def test_positions_empty_is_rank2(self):
+        from adipose_tpu.ops.blend import sliding_window_positions
+
+        pos = sliding_window_positions((40, 50), 64, 0.5)
+        assert pos.shape == (0, 2)  # degenerate case must stay indexable
+
 
 class TestThreshold:
     def test_extract_slide_id(self):
@@ -114,6 +120,26 @@ class TestThreshold:
         assert 0.3 < thr2 < 0.8
         thr3, _ = optimize_threshold_adaptive(preds, trues, paths)
         assert 0.3 < thr3 < 0.8
+
+    def test_mixed_shape_predictions(self, rng):
+        """Sliding-window datasets mix image sizes; the device F1 sweep must
+        group per shape instead of np.stack-crashing (r5 review fix)."""
+        preds, trues, paths = [], [], []
+        for i, shape in enumerate([(32, 32), (48, 64), (32, 32), (48, 64)]):
+            t = (rng.rand(*shape) > 0.5).astype(np.float32)
+            preds.append(np.where(t > 0, 0.8, 0.3).astype(np.float32))
+            trues.append(t)
+            paths.append(f"slide{i % 2}_r{i}_c0.jpg")
+        thr, scores = optimize_threshold_f1_slide_level(preds, trues, paths)
+        assert 0.3 < thr < 0.8
+        # result must equal the uniform-shape computation done pairwise
+        from adipose_tpu.eval.threshold import _f1_matrix
+
+        grid = np.arange(0.1, 0.95, 0.05)
+        mixed = _f1_matrix(preds, trues, grid)
+        for i in range(4):
+            solo = _f1_matrix(preds[i : i + 1], trues[i : i + 1], grid)
+            np.testing.assert_allclose(mixed[i], solo[0], rtol=1e-6)
 
     def test_threshold_grid_matches_reference(self):
         grid = np.arange(0.1, 0.95, 0.05)
